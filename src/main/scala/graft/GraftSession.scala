@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with scale-oriented defaults.
+  *
+  * The reference (PowerSQL) delegates execution to PostgreSQL/BigQuery
+  * (reference: src/execute.rs:21-28); graft owns execution on Spark, so
+  * session tuning is part of the engine surface.
+  *
+  * Local testing runs `local[32]`; on a real cluster the same config
+  * holds except `shuffle.partitions` should be ~2-3x total cores — AQE
+  * coalesces small partitions either way, so over-provisioning the
+  * partition count is safe at 100 TB while under-provisioning is not.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft", master: String = "local[32]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "32")
+      // AQE: runtime partition coalescing + skew-join splitting — the
+      // mechanism that keeps shuffle-heavy plans healthy at 100x data.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Lazy handles on the driver-generated TPC-H-ish tables of one scale
+  * factor directory (TESTDATA.md). Plain parquet reads — column pruning
+  * and predicate pushdown happen in the scan, so every query should
+  * start here rather than from a cached/materialized copy.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  /** events.ts is nanosecond-precision parquet, which Spark 4 refuses to
+    * read as a timestamp. Read nanos as long (legacy conf) and truncate
+    * to microseconds — the same ns→us truncation DuckDB applies — so the
+    * engine-facing schema keeps `ts: timestamp`.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t("events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** Register all tables as temp views for SQL-surface entry points. */
+  def registerAll(): Unit =
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      .foreach(n => t(n).createOrReplaceTempView(n))
+}

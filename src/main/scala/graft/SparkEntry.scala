@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Oracles, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q18_star_revenue(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented capability from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Relational.q1_agg _),
+    "q2_filter_project" -> (Relational.q2_filter_project _),
+    "q3_join_broadcast" -> (Relational.q3_join_broadcast _),
+    "q4_join_shuffle" -> (Relational.q4_join_shuffle _),
+    "q5_outer_join" -> (Relational.q5_outer_join _),
+    "q6_semi_anti" -> (Relational.q6_semi_anti _),
+    "q7_topk" -> (Relational.q7_topk _),
+    "q8_window_rank" -> (Relational.q8_window_rank _),
+    "q9_window_running" -> (Relational.q9_window_running _),
+    "q10_setops" -> (Relational.q10_setops _),
+    "q11_cte_subquery" -> (Relational.q11_cte_subquery _),
+    "q12_case_string" -> (Relational.q12_case_string _),
+    "q13_date" -> (Relational.q13_date _),
+    "q14_pivot" -> (Relational.q14_pivot _),
+    "q15_rollup" -> (Relational.q15_rollup _),
+    "q16_having" -> (Relational.q16_having _),
+    "q17_countd" -> (Relational.q17_countd _),
+    "q17b_approx_countd" -> (Relational.q17b_approx_countd _),
+    "q18_star_revenue" -> (Relational.q18_star_revenue _),
+    "q19_json_extract" -> (Relational.q19_json_extract _),
+    "q20_sessionize" -> (Relational.q20_sessionize _),
+    "q21_stream_window" -> (Relational.q21_stream_window _)
+  )
+
+  /** DuckDB oracle SQL per oracle-checked query (SURVEY §4 discipline). */
+  def oracleSql: Map[String, String] = Oracles.relational
 }

@@ -1,0 +1,222 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every oracle-checked `SparkEntry.queries` entry.
+  *
+  * Discipline (SURVEY §4): identical column aliases to the Spark side;
+  * money aggregates via exact DECIMAL(18,4) sums rounded to 2 then cast
+  * DOUBLE; integer sums cast to BIGINT (DuckDB SUM(BIGINT) is HUGEINT,
+  * which pandas would degrade to float); timestamps cast to microsecond
+  * TIMESTAMP before arithmetic (DuckDB reads the ns-parquet as
+  * TIMESTAMP_NS); deterministic global ORDER BY with full tiebreaks.
+  */
+object Oracles {
+
+  private val MONEY_Q = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE)"
+
+  val relational: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  $MONEY_Q AS sum_qty,
+         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_base_price,
+         |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q4_join_shuffle" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_outer_join" ->
+      """SELECT c_custkey,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_semi_anti" ->
+      """SELECT * FROM (
+        |  SELECT 'with_orders' AS cohort, COUNT(*) AS n FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT 'without_orders' AS cohort, COUNT(*) AS n FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |) ORDER BY cohort""".stripMargin,
+
+    "q7_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 25""".stripMargin,
+
+    "q8_window_rank" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q9_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS running_total,
+        |  LAG(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_setops" ->
+      """SELECT * FROM (
+        |  SELECT 'union' AS op, nationkey FROM (
+        |    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |    UNION SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'intersect' AS op, nationkey FROM (
+        |    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |    INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'except' AS op, nationkey FROM (
+        |    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |    EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |) ORDER BY op, nationkey""".stripMargin,
+
+    "q11_cte_subquery" ->
+      """WITH stats AS (SELECT AVG(c_acctbal) AS a FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal
+        |FROM customer, stats
+        |WHERE c_acctbal > a
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_case_string" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size < 10 THEN 'small'
+        |       WHEN p_size < 30 THEN 'medium'
+        |       ELSE 'large' END AS size_class,
+        |  UPPER(p_brand) AS brand_uc,
+        |  SUBSTRING(p_name, 1, 8) AS name_prefix,
+        |  CONCAT_WS('/', p_brand, p_type) AS brand_type,
+        |  p_type LIKE '%a%' AS has_a
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q13_date" ->
+      """SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q14_pivot" ->
+      s"""SELECT l_linestatus,
+         |  CAST(ROUND(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,4)) END),2) AS DOUBLE) AS qty_a,
+         |  CAST(ROUND(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,4)) END),2) AS DOUBLE) AS qty_n,
+         |  CAST(ROUND(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,4)) END),2) AS DOUBLE) AS qty_r
+         |FROM lineitem
+         |GROUP BY l_linestatus
+         |ORDER BY l_linestatus""".stripMargin,
+
+    "q15_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n,
+         |  $MONEY_Q AS sum_qty
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q16_having" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,4))),2) AS DOUBLE) AS shelf_value
+        |FROM part
+        |GROUP BY p_brand
+        |HAVING COUNT(*) > 2
+        |ORDER BY p_brand""".stripMargin,
+
+    "q17_countd" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q18_star_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q19_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q20_sessionize" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS prev_us
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 30*60*1000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM seq
+        |), sessions AS (
+        |  SELECT user_id,
+        |    SUM(is_break) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q21_stream_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+  )
+}

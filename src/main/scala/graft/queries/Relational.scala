@@ -1,0 +1,375 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+/** The relational query surface (SURVEY §2B), written DataFrame-first so
+  * Catalyst owns physical planning: predicate/projection pushdown into the
+  * parquet scans, broadcast joins for dims, partial aggregation, AQE.
+  *
+  * Reference context: PowerSQL pushes this entire layer to PostgreSQL or
+  * BigQuery (reference: src/execute.rs:21-28); graft executes it natively.
+  *
+  * Oracle-match discipline (SURVEY §4): money aggregates go through exact
+  * DECIMAL(18,4) sums and are only converted to double after ROUND(.,2),
+  * so Spark and DuckDB produce bit-identical doubles regardless of
+  * summation order. Every output is deterministically globally ordered.
+  */
+object Relational {
+
+  /** Exact, order-independent money aggregate: decimal sum → round → double. */
+  private def money(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 4))), 2).cast("double")
+
+  /** q1_agg — TPC-H Q1-style multi-aggregate scan.
+    * Scale: single shuffle on the (tiny-cardinality) group keys; Spark
+    * plans partial (map-side) aggregation before it, so the shuffle
+    * carries one row per key per task regardless of input size.
+    */
+  def q1_agg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money(col("l_quantity")).as("sum_qty"),
+        money(col("l_extendedprice")).as("sum_base_price"),
+        money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q2_filter_project — selective filter + narrow projection; both must
+    * reach the scan (PushedFilters / ReadSchema) so at 100 TB only the
+    * needed row-groups and columns are read.
+    */
+  def q2_filter_project(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 10
+      )
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q3_join_broadcast — fact⋈dim with an explicit broadcast hint: the
+    * customer dim is O(SF·150k) rows, always broadcastable, so the join
+    * is shuffle-free over the orders fact table.
+    */
+  def q3_join_broadcast(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        money(col("o_totalprice")).as("revenue")
+      )
+      .orderBy("c_mktsegment")
+  }
+
+  /** q4_join_shuffle — fact⋈fact join (lineitem⋈orders): both sides large
+    * at scale, so this is a shuffle join on the key; AQE handles skew.
+    */
+  def q4_join_shuffle(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        money(col("l_extendedprice")).as("total_price")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  /** q5_outer_join — left outer join preserving customers with no orders. */
+  def q5_outer_join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(money(col("o_totalprice")), lit(0.0)).as("total_spent")
+      )
+      .orderBy("c_custkey")
+  }
+
+  /** q6_semi_anti — EXISTS / NOT EXISTS as left-semi / left-anti joins
+    * (no row multiplication, one shuffle each on the join key).
+    */
+  def q6_semi_anti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val withOrders = t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("with_orders").as("cohort"), col("n"))
+    val withoutOrders = t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("without_orders").as("cohort"), col("n"))
+    withOrders.unionAll(withoutOrders).orderBy("cohort")
+  }
+
+  /** q7_topk — global top-k: Catalyst plans TakeOrderedAndProject, i.e.
+    * per-partition heaps + driver merge of k rows, never a global sort.
+    */
+  def q7_topk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(25)
+  }
+
+  /** q8_window_rank — top-3 orders per market segment via row_number. */
+  def q8_window_rank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** q9_window_running — running (prefix) sum + lag per customer; the
+    * running sum uses the exact-decimal money discipline inside the frame.
+    */
+  def q9_window_running(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t.orders
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q10_setops — UNION / INTERSECT / EXCEPT over customer vs supplier
+    * nation sets, tagged and stacked.
+    */
+  def q10_setops(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cn = t.customer.select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = t.supplier.select(col("s_nationkey").as("nationkey")).distinct()
+    val u = cn.union(sn).distinct().select(lit("union").as("op"), col("nationkey"))
+    val i = cn.intersect(sn).select(lit("intersect").as("op"), col("nationkey"))
+    val e = cn.except(sn).select(lit("except").as("op"), col("nationkey"))
+    u.unionAll(i).unionAll(e).orderBy("op", "nationkey")
+  }
+
+  /** q11_cte_subquery — scalar-subquery threshold (customers above the
+    * global average balance). The scalar aggregate is computed once and
+    * broadcast into the filter.
+    */
+  def q11_cte_subquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val avgBal = t.customer.agg(avg(col("c_acctbal")).as("a"))
+    t.customer
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** q12_case_string — CASE/WHEN bucketing + string functions, all
+    * codegen'd builtins (no UDFs in the hot path).
+    */
+  def q12_case_string(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .select(
+        col("p_partkey"),
+        when(col("p_size") < 10, lit("small"))
+          .when(col("p_size") < 30, lit("medium"))
+          .otherwise(lit("large")).as("size_class"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        col("p_type").like("%a%").as("has_a")
+      )
+      .orderBy("p_partkey")
+  }
+
+  /** q13_date — time-series aggregation: month bucket × event type. */
+  def q13_date(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(
+        date_trunc("month", col("ts")).as("month"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        money(col("value")).as("total_value")
+      )
+      .orderBy("month", "event_type")
+  }
+
+  /** q14_pivot — genuine relational pivot (wide conditional aggregation):
+    * quantity by line status × return flag.
+    */
+  def q14_pivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(money(col("l_quantity")))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy("l_linestatus")
+  }
+
+  /** q15_rollup — ROLLUP grouping sets with grouping_id; NULL group keys
+    * are ordered NULLS FIRST explicitly so engines agree.
+    */
+  def q15_rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        money(col("l_quantity")).as("sum_qty")
+      )
+      .orderBy(
+        col("gid").asc,
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first
+      )
+  }
+
+  /** q16_having — post-aggregation filter on group counts. */
+  def q16_having(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), money(col("p_retailprice")).as("shelf_value"))
+      .filter(col("n_parts") > 2)
+      .orderBy("p_brand")
+  }
+
+  /** q17_countd — exact distinct counting per group (oracle-checked;
+    * the approximate HLL variant is q17b, rows-only).
+    */
+  def q17_countd(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** q17b_approx_countd — approx_count_distinct (HyperLogLog++): the
+    * 100 TB path where exact distinct would shuffle every key. rsd=0.01.
+    * Not DuckDB-oracle-able (different sketch); spec-checked vs exact.
+    */
+  def q17b_approx_countd(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps")
+      )
+      .orderBy("l_returnflag")
+  }
+
+  /** q18_star_revenue — TPC-H Q5-style star join: fact⋈fact shuffle join
+    * (lineitem⋈orders) then broadcast dims customer→nation→region.
+    */
+  def q18_star_revenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        money(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q19_json_extract — semi-structured extraction from events.props
+    * (JSON string) via get_json_object, then aggregate.
+    */
+  def q19_json_extract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k")
+      )
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** q20_sessionize — event sessionization: a session break is a >30 min
+    * gap per user; session ids are prefix sums of breaks. Single shuffle
+    * on user_id; everything else is within-partition window work.
+    */
+  def q20_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    t.events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn(
+        "is_break",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L)
+      )
+      .withColumn(
+        "session_id",
+        sum(col("is_break")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy("user_id")
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events")
+      )
+      .orderBy("user_id")
+  }
+
+  /** q21_stream_window — tumbling event-time window (1 h) × event type.
+    * Identical transform runs under Structured Streaming with a watermark
+    * (see graft.streaming.EventStream); here it runs in batch for the
+    * oracle. window("1 hour").start == date_trunc('hour', ts).
+    */
+  def q21_stream_window(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), money(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value")
+      )
+      .orderBy("window_start", "event_type")
+  }
+}
