@@ -72,8 +72,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   def embeddings: DataFrame = t("embeddings")
 
   /** Register all tables as temp views for SQL-surface entry points. */
-  def registerAll(): Unit =
+  def registerAll(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
+        "orders", "lineitem", "documents", "embeddings")
       .foreach(n => t(n).createOrReplaceTempView(n))
+    events.createOrReplaceTempView("events")
+  }
 }

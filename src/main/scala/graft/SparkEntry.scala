@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Oracles, Relational}
+import graft.queries.{ModelQueries, Oracles, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -12,6 +12,8 @@ object SparkEntry {
 
   /** One entry per implemented capability from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_model_dag" -> (ModelQueries.a1_model_dag _),
+    "a3_model_assert" -> (ModelQueries.a3_model_assert _),
     "q1_agg" -> (Relational.q1_agg _),
     "q2_filter_project" -> (Relational.q2_filter_project _),
     "q3_join_broadcast" -> (Relational.q3_join_broadcast _),
@@ -37,5 +39,8 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per oracle-checked query (SURVEY §4 discipline). */
-  def oracleSql: Map[String, String] = Oracles.relational
+  def oracleSql: Map[String, String] = Oracles.relational ++ Map(
+    "a1_model_dag" -> ModelQueries.a1_oracle,
+    "a3_model_assert" -> ModelQueries.a3_oracle
+  )
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** End-to-end drives of the model-DAG engine (SURVEY §2A) as verifiable
+  * queries: parse SQL models → dependency DAG → topo execution on Spark →
+  * final table, and the ASSERT data-test runner. Oracles re-express the
+  * same DAGs as plain nested SQL for DuckDB.
+  */
+object ModelQueries {
+
+  private def tmpWarehouse(): String =
+    java.nio.file.Files.createTempDirectory("graft_wh_").toString
+
+  /** a1_model_dag — three-model DAG (view → materialized table → view)
+    * over orders/customer; mirrors the reference's revenue example
+    * (reference: examples/postgres/models/revenue.sql).
+    */
+  def a1_model_dag(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW big_orders AS
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 150000;
+        |CREATE TABLE cust_orders AS
+        |  SELECT c_custkey, c_mktsegment, o_totalprice
+        |  FROM customer JOIN big_orders ON c_custkey = o_custkey;
+        |CREATE VIEW seg_summary AS
+        |  SELECT c_mktsegment,
+        |    COUNT(*) AS n_big_orders,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS big_revenue
+        |  FROM cust_orders GROUP BY c_mktsegment
+        |""".stripMargin)
+    new ModelEngine(spark).run(models, tmpWarehouse())
+    spark.table("seg_summary").orderBy("c_mktsegment")
+  }
+
+  val a1_oracle: String =
+    """WITH big_orders AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_totalprice > 150000
+      |), cust_orders AS (
+      |  SELECT c_custkey, c_mktsegment, o_totalprice
+      |  FROM customer JOIN big_orders ON c_custkey = o_custkey
+      |)
+      |SELECT c_mktsegment,
+      |  COUNT(*) AS n_big_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS big_revenue
+      |FROM cust_orders GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** a3_model_assert — the ASSERT data-test surface (reference:
+    * examples/postgres/tests/data_tests.sql) run by the engine; emits one
+    * row per test with its boolean outcome.
+    */
+  def a3_model_assert(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val tests = ModelParser.parseTestFile(
+      """ASSERT NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_totalprice <= 0
+        |) AS 'order totalprice should be positive';
+        |ASSERT (SELECT COUNT(*) FROM customer) =
+        |       (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+        |  AS 'customer keys should be unique';
+        |ASSERT NOT EXISTS (
+        |  SELECT 1 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_custkey IS NULL
+        |) AS 'referential integrity orders to customer';
+        |ASSERT (SELECT COUNT(*) FROM orders WHERE o_totalprice < 300000) >=
+        |  0.7 * (SELECT COUNT(*) FROM orders)
+        |  AS 'at least 70 pct of orders under 300000'
+        |""".stripMargin)
+    val engine = new ModelEngine(spark)
+    engine.checkTests(tests)
+    val results = engine.test(tests)
+    import spark.implicits._
+    results.toDF("test", "passed").orderBy(col("test"))
+  }
+
+  val a3_oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'order totalprice should be positive' AS test,
+      |    (NOT EXISTS (SELECT 1 FROM orders WHERE o_totalprice <= 0)) AS passed
+      |  UNION ALL
+      |  SELECT 'customer keys should be unique' AS test,
+      |    ((SELECT COUNT(*) FROM customer) = (SELECT COUNT(DISTINCT c_custkey) FROM customer)) AS passed
+      |  UNION ALL
+      |  SELECT 'referential integrity orders to customer' AS test,
+      |    (NOT EXISTS (SELECT 1 FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |                 WHERE c_custkey IS NULL)) AS passed
+      |  UNION ALL
+      |  SELECT 'at least 70 pct of orders under 300000' AS test,
+      |    ((SELECT COUNT(*) FROM orders WHERE o_totalprice < 300000) >=
+      |     0.7 * (SELECT COUNT(*) FROM orders)) AS passed
+      |) ORDER BY test""".stripMargin
+}
