@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.queries.{ModelQueries, Oracles, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -35,12 +36,27 @@ object SparkEntry {
     "q18_star_revenue" -> (Relational.q18_star_revenue _),
     "q19_json_extract" -> (Relational.q19_json_extract _),
     "q20_sessionize" -> (Relational.q20_sessionize _),
-    "q21_stream_window" -> (Relational.q21_stream_window _)
+    "q21_stream_window" -> (Relational.q21_stream_window _),
+    "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
+    "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
+    "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),
+    "d4_ngram_jaccard" -> (Dedup.d4_ngram_jaccard _),
+    "d5_embed_dup" -> (Dedup.d5_embed_dup _),
+    "s1_ann_topk" -> (Similarity.s1_ann_topk _),
+    "s2_ann_lsh" -> (Similarity.s2_ann_lsh _),
+    "t1_lang_id" -> (TextOps.t1_lang_id _),
+    "t2_quality" -> (TextOps.t2_quality _),
+    "t3_token_count" -> (TextOps.t3_token_count _),
+    "t4_fingerprint" -> (TextOps.t4_fingerprint _),
+    "m1_multimodal" -> (Multimodal.m1_multimodal _)
   )
 
   /** DuckDB oracle SQL per oracle-checked query (SURVEY §4 discipline). */
   def oracleSql: Map[String, String] = Oracles.relational ++ Map(
     "a1_model_dag" -> ModelQueries.a1_oracle,
-    "a3_model_assert" -> ModelQueries.a3_oracle
+    "a3_model_assert" -> ModelQueries.a3_oracle,
+    "d1_dedup_exact" -> Dedup.d1_oracle,
+    "t2_quality" -> TextOps.t2_oracle,
+    "t3_token_count" -> TextOps.t3_oracle
   )
 }

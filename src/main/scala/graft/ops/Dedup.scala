@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training corpora (SURVEY §2C).
+  *
+  * Scale shape: signature computation (shingles → minhash / simhash) is a
+  * narrow per-row map with zero shuffles; the only wide stages are the
+  * LSH band `groupBy` (cardinality ≈ rows × bands, keys are 64-bit
+  * hashes so they distribute uniformly) and the candidate-verify join.
+  * Candidate pairs are generated strictly within buckets — never an n²
+  * cross product — and buckets above `maxBucket` are dropped as a skew
+  * guard (a degenerate key at 100 TB would otherwise quadratically blow
+  * up a single task; dropping it only loses near-dup recall among texts
+  * that are all near-identical to each other anyway).
+  */
+object Dedup {
+
+  /** Distinct 2-word shingle set per document (falls back to the whole
+    * text when shorter than the shingle width).
+    */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr(TextOps.TOKENS))
+      .withColumn("shingles", expr(
+        """array_distinct(CASE WHEN size(toks) >= 2 THEN
+          |  transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))
+          |ELSE array(concat_ws(' ', toks)) END)""".stripMargin))
+
+  /** MinHash signature: k independent affine permutations over xxhash64
+    * shingle hashes, folded with array_min. Pure per-row expression work
+    * (one pass per permutation), whole-stage-codegen friendly.
+    */
+  private def withMinhash(df: DataFrame, k: Int = 64, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    // ANSI-safe affine permutations: hashes are folded to 32 bits and the
+    // multipliers kept under 2^31, so a*h+b < 2^63 never overflows (Spark 4
+    // runs ANSI mode by default — wrapping arithmetic would throw).
+    val perms = Seq.fill(k)((rng.nextInt(Int.MaxValue).toLong | 1L, rng.nextInt(Int.MaxValue).toLong))
+    val sig = array(perms.map { case (a, b) =>
+      expr(s"array_min(transform(hs, h -> (h & 4294967295L) * ${a}L + ${b}L))")
+    }: _*)
+    df.withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("sig", sig)
+  }
+
+  /** Candidate pairs from LSH banding: explode (band, bandKey) rows,
+    * drop oversized buckets (skew guard), self-join within buckets.
+    */
+  private def lshCandidates(
+      sigDf: DataFrame, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))
+    }: _*)
+    val exploded = sigDf
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val buckets = exploded.groupBy("band", "bkey").count()
+      .filter(col("count").between(2, maxBucket))
+      .select("band", "bkey")
+    val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
+    members.as("l")
+      .join(members.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard verification of candidate pairs. */
+  private def withJaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {
+    val sh = shingled.select(col("doc_id"), col("shingles"))
+    pairs
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "id_a", "shingles" -> "sh_a")), Seq("id_a"))
+      .join(sh.withColumnsRenamed(Map("doc_id" -> "id_b", "shingles" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** d1_dedup_exact — exact duplicate grouping. Grouping key is the text
+    * itself for oracle parity; at 100 TB you'd group by xxhash64(text)
+    * first and confirm within hash groups so the shuffle carries 8-byte
+    * keys — semantics identical, both shapes are one shuffle. [oracle]
+    */
+  def d1_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("keep_id", "dup_count", "text")
+      .orderBy("keep_id")
+
+  val d1_oracle: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, text
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** d2_dedup_minhash — MinHash(64) + LSH(16 bands × 4 rows) near-dup
+    * pairs, verified with exact shingle Jaccard ≥ 0.7. [rows-only]
+    */
+  def d2_dedup_minhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables(spark, dir).documents)
+    val sig = withMinhash(sh)
+    val cands = lshCandidates(sig, bands = 16, rowsPerBand = 4, maxBucket = 100)
+    withJaccard(cands, sh)
+      .filter(col("jaccard") >= 0.7)
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+  }
+
+  /** d3_dedup_simhash — 64-bit SimHash over 2-word shingles; candidates
+    * bucketed by 4 × 16-bit bands (any pair within hamming ≤ 16 shares a
+    * band by pigeonhole at ≤3 differing bits per band), confirmed with
+    * bit_count(xor) ≤ 12. [rows-only]
+    */
+  def d3_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables(spark, dir).documents)
+      .withColumn("hs", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("bitsum", expr(
+        """aggregate(hs, array_repeat(CAST(0 AS BIGINT), 64),
+          |  (acc, h) -> zip_with(acc, sequence(0, 63),
+          |    (a, k) -> a + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(zip_with(bitsum, sequence(0, 63),
+          |    (v, k) -> CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), k) ELSE CAST(0 AS BIGINT) END),
+          |  CAST(0 AS BIGINT), (acc, x) -> acc | x)""".stripMargin))
+    val bandStructs = array((0 until 4).map { b =>
+      struct(lit(b).as("band"), expr(s"(shiftright(simhash, ${16 * b}) & 65535)").as("bkey"))
+    }: _*)
+    val exploded = sh.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val buckets = exploded.groupBy("band", "bkey").count()
+      .filter(col("count").between(2, 200)).select("band", "bkey")
+    val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
+    members.as("l")
+      .join(members.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
+  }
+
+  /** d4_ngram_jaccard — exact 2-gram Jaccard scores for every LSH
+    * candidate pair (no threshold): the ranked near-dup report. [rows-only]
+    */
+  def d4_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables(spark, dir).documents)
+    val cands = lshCandidates(withMinhash(sh), bands = 16, rowsPerBand = 4, maxBucket = 100)
+    withJaccard(cands, sh)
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+  }
+
+  /** d5_embed_dup — embedding-cosine near-dup: random-hyperplane LSH
+    * buckets (8 planes → 256 buckets) generate candidates, exact cosine
+    * ranks them; top-100 closest pairs. Only bucket-local pairs are ever
+    * scored — corpus² never materializes. [rows-only]
+    */
+  def d5_embed_dup(spark: SparkSession, dir: String): DataFrame = {
+    val unit = Similarity.withUnit(Tables(spark, dir).embeddings)
+    val bucketed = Similarity.withHyperplaneBucket(unit, planes = 8, seed = 7L)
+    val cands = bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        round(Similarity.dot(col("l.unit"), col("r.unit")), 6).as("cosine"))
+    cands.orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc).limit(100)
+  }
+}

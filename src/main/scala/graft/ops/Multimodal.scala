@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media asset: opaque binary payload + typed metadata. Modality is a
+  * plain string column so partition pruning / predicate pushdown work on
+  * it; the payload stays opaque binary end-to-end (never parsed by the
+  * engine, never part of a shuffle key).
+  */
+final case class MediaRow(
+    doc_id: Long,
+    modality: String,          // image | audio | video
+    payload: Array[Byte],      // raw encoded bytes (jpeg/wav/mp4/…)
+    width: Int, height: Int,   // image/video metadata
+    sample_rate: Int)          // audio metadata
+
+final case class MediaFeatures(
+    doc_id: Long,
+    modality: String,
+    n_bytes: Long,
+    checksum: Long,
+    feature: Array[Float])     // extracted feature vector
+
+/** Multimodal-column plumbing (SURVEY §2C m1). The real decode step
+  * (libjpeg / ffmpeg / soundfile) is STUBBED — those libraries are not in
+  * this container — but everything Spark-side is real and load-bearing:
+  * the typed schema, the batched partition-wise extraction (the Scala
+  * analogue of `mapInPandas`: one decoder init per partition, streamed
+  * batches, never materializing a partition in memory), and the
+  * downstream aggregation shape.
+  */
+object Multimodal {
+
+  /** STUB decoder. A production build replaces the body with the real
+    * decode + model forward pass; the signature — bytes in, fixed-width
+    * float feature out — is the contract the pipeline is built against.
+    * Deterministic on payload bytes so tests are stable.
+    */
+  private def decodeAndExtract(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  private def checksum(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    h
+  }
+
+  /** Synthesize a media table from `documents` (payload = utf-8 bytes of
+    * the text standing in for encoded media; deterministic modality).
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"),
+        when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** Batched partition-wise feature extraction. mapPartitions (not map)
+    * so a real decoder/model is initialized once per partition and the
+    * iterator streams — constant memory per task regardless of partition
+    * size, the property that matters when payloads are MBs each.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // [real build: init decoder/model handle here, once per partition]
+      rows.map { r =>
+        MediaFeatures(
+          doc_id = r.doc_id,
+          modality = r.modality,
+          n_bytes = r.payload.length.toLong,
+          checksum = checksum(r.payload),
+          feature = decodeAndExtract(r.payload))
+      }
+    }
+  }
+
+  /** m1_multimodal — end-to-end: synthesize media, extract features
+    * partition-wise, emit per-asset rows (stable ordering). [rows-only]
+    */
+  def m1_multimodal(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir))
+      .toDF()
+      .withColumn("feat_l1", round(expr(
+        "aggregate(feature, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 4))
+      .select("doc_id", "modality", "n_bytes", "checksum", "feat_l1")
+      .orderBy("doc_id")
+}

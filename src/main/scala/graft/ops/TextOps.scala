@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §2C).
+  *
+  * Everything is built from codegen'd Spark builtins (split / filter /
+  * transform / aggregate higher-order functions) — no UDFs — so each
+  * operator is a narrow per-row map over the corpus: zero shuffles, scan
+  * → project, which is exactly what you want when the corpus is 100 TB.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens. */
+  val TOKENS = "filter(split(text, ' '), x -> x != '')"
+
+  private val STOPWORDS = "'the','a','of','and','to','in'"
+
+  /** t2_quality — quality-scoring signals per document. Integer-valued
+    * outputs only (SURVEY §4: cross-engine float discipline).
+    */
+  def t2_quality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars",
+      s"CAST(size($TOKENS) AS BIGINT) AS n_tokens",
+      "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars",
+      s"CAST(size(filter($TOKENS, x -> x IN ($STOPWORDS))) AS BIGINT) AS n_stop"
+    ).selectExpr(
+      "doc_id", "n_chars", "n_tokens", "n_word_chars", "n_stop",
+      "CAST(CASE WHEN n_tokens BETWEEN 5 AND 1000 AND n_stop > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality"
+    ).orderBy("doc_id")
+
+  val t2_oracle: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+       |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+       |                         x -> x IN ($STOPWORDS))) AS BIGINT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_tokens, n_word_chars, n_stop,
+       |  CAST(CASE WHEN n_tokens BETWEEN 5 AND 1000 AND n_stop > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** t3_token_count — whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single punctuation).
+    */
+  def t3_token_count(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.selectExpr(
+      "doc_id",
+      s"CAST(size($TOKENS) AS BIGINT) AS n_ws_tokens",
+      "CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens"
+    ).orderBy("doc_id")
+
+  val t3_oracle: String =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t1_lang_id — marker-token language scoring (en/es/de/fr), argmax
+    * with 'und' fallback. A real pipeline swaps the marker lists for
+    * char-n-gram profiles; the operator shape (per-row scoring, no
+    * shuffle) is the part that matters at scale. [rows-only]
+    */
+  def t1_lang_id(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "and", "of", "a", "to", "in", "is"),
+      "es" -> Seq("el", "la", "de", "los", "y", "que", "es"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "fr" -> Seq("le", "les", "des", "et", "est", "une")
+    )
+    val scored = markers.foldLeft(Tables(spark, dir).documents) { case (df, (l, ws)) =>
+      df.withColumn(s"score_$l",
+        expr(s"CAST(size(filter($TOKENS, x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"))
+    }
+    val best = markers.keys.toSeq.sorted
+      .map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+    scored
+      .withColumn("best", greatest(best: _*))
+      .selectExpr(
+        "doc_id", "lang AS lang_declared",
+        "CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred",
+        "best.score AS score")
+      .orderBy("doc_id")
+  }
+
+  /** t4_fingerprint — rolling-hash document fingerprint: xxhash64 over
+    * 3-token shingles, folded with min (content-defined, order-robust
+    * against small edits). [rows-only: engine-specific hash]
+    */
+  def t4_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("toks", expr(TOKENS))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(0, size(toks) - 3),
+          |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+          |ELSE array(concat_ws(' ', toks)) END""".stripMargin))
+      .selectExpr(
+        "doc_id",
+        "CAST(size(shingles) AS BIGINT) AS n_shingles",
+        "aggregate(shingles, CAST(9223372036854775807 AS BIGINT), (acc, s) -> least(acc, xxhash64(s))) AS fingerprint_min",
+        "aggregate(shingles, CAST(0 AS BIGINT), (acc, s) -> acc ^ xxhash64(s)) AS fingerprint_xor")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  test("t2_quality computes token/char/stopword signals") {
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val texts = graft.Tables(spark, sfDir).documents
+      .select("doc_id", "text").orderBy("doc_id").limit(5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = TextOps.t2_quality(spark, sfDir).limit(5).collect()
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val toks = text.split(" ").filter(_.nonEmpty)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Long]("n_chars") == text.length)
+      assert(r.getAs[Long]("n_word_chars") == text.count(_ != ' '))
+      assert(r.getAs[Long]("n_stop") == toks.count(stop.contains))
+    }
+  }
+
+  test("t3_token_count: ws vs bpe-ish tokenizer agree on plain words") {
+    val df = TextOps.t3_token_count(spark, sfDir)
+    // corpus is lowercase words + spaces → both tokenizers count words
+    assert(df.filter(col("n_ws_tokens") =!= col("n_bpe_tokens")).count() == 0)
+    assert(df.count() == 500)
+  }
+
+  test("t1_lang_id picks marker-richest language, und on no markers") {
+    import spark.implicits._
+    Seq(
+      (0L, "the cat and the dog of a house", "x", "s", 1L),
+      (1L, "el perro y la casa de los gatos", "x", "s", 1L),
+      (2L, "zzz qqq www", "x", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars").createOrReplaceTempView("documents")
+    val tmp = java.nio.file.Files.createTempDirectory("langid_").toString
+    spark.table("documents").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.t1_lang_id(spark, tmp).collect()
+    assert(out(0).getAs[String]("lang_pred") == "en")
+    assert(out(1).getAs[String]("lang_pred") == "es")
+    assert(out(2).getAs[String]("lang_pred") == "und")
+  }
+
+  test("t4_fingerprint is stable and edit-robust via min-fold") {
+    val df = TextOps.t4_fingerprint(spark, sfDir).limit(10).collect()
+    assert(df.forall(_.getAs[Long]("n_shingles") > 0))
+    val again = TextOps.t4_fingerprint(spark, sfDir).limit(10).collect()
+    assert(df.map(_.getAs[Long]("fingerprint_min")).sameElements(
+      again.map(_.getAs[Long]("fingerprint_min"))))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+
+  /** Write a tiny corpus with planted near-dups as a documents dir. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = "spark group query row data slow small filter customer line the batch value merge extra words here"
+    val nearDup = base.replace("slow", "fast") // 1-token edit
+    val other = "completely different words nothing shared at all zebra yak xylophone quartz jolt"
+    val docs = Seq(
+      (100L, base, "en", "s", 1L),
+      (101L, nearDup, "en", "s", 1L),
+      (102L, other, "en", "s", 1L),
+      (103L, base, "en", "s", 1L) // exact dup of 100
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("d1_dedup_exact groups identical texts") {
+    val out = Dedup.d1_dedup_exact(spark, plantedDir).collect()
+    assert(out.length == 3)
+    val dupRow = out.find(_.getAs[Long]("keep_id") == 100L).get
+    assert(dupRow.getAs[Long]("dup_count") == 2)
+  }
+
+  test("d2_dedup_minhash finds planted near-dup pair, not unrelated docs") {
+    val pairs = Dedup.d2_dedup_minhash(spark, plantedDir)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((100L, 101L)) || pairs.contains((100L, 103L)))
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L))
+  }
+
+  test("d2 on testdata finds the generator's planted near-dups") {
+    val out = Dedup.d2_dedup_minhash(spark, sfDir)
+    assert(out.count() > 0)
+    assert(out.agg(min("jaccard")).collect().head.getDouble(0) >= 0.7)
+  }
+
+  test("d3_dedup_simhash: near-identical docs collide, hamming small") {
+    val out = Dedup.d3_dedup_simhash(spark, plantedDir).collect()
+    val pairs = out.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((100L, 103L))) // exact dup → hamming 0
+    val exact = out.find(r => r.getAs[Long]("id_a") == 100L && r.getAs[Long]("id_b") == 103L).get
+    assert(exact.getAs[Long]("hamming") == 0L)
+  }
+
+  test("d4_ngram_jaccard ranks candidates by exact jaccard") {
+    val out = Dedup.d4_ngram_jaccard(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val j = out.map(_.getAs[Double]("jaccard"))
+    assert(j.sameElements(j.sortBy(-_: Double)), "descending jaccard order")
+  }
+
+  test("d5_embed_dup emits top cosine pairs from LSH buckets") {
+    val out = Dedup.d5_embed_dup(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    assert(out.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0001))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("s1_ann_topk: 5 exact neighbors per query, cosine descending") {
+    val out = Similarity.s1_ann_topk(spark, sfDir).collect()
+    assert(out.length == 50) // 10 queries × 5
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val cos = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("s2_ann_lsh returns bucket-local neighbors; nonzero overlap with exact") {
+    val exact = Similarity.s1_ann_topk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.s2_ann_lsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(approx.nonEmpty)
+    // single-probe LSH: expect some—not full—overlap with the exact top-k
+    assert(approx.intersect(exact).nonEmpty)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("m1 plumbing: typed schema, deterministic stub features, all docs flow through") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    assert(media.schema.fieldNames.toSet ==
+      Set("doc_id", "modality", "payload", "width", "height", "sample_rate"))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(_.feature.length == 8))
+    val out1 = Multimodal.m1_multimodal(spark, sfDir).collect()
+    val out2 = Multimodal.m1_multimodal(spark, sfDir).collect()
+    assert(out1.map(_.getAs[Long]("checksum")).sameElements(out2.map(_.getAs[Long]("checksum"))))
+    assert(out1.map(_.getAs[String]("modality")).toSet == Set("image", "audio", "video"))
+  }
+}
