@@ -361,15 +361,8 @@ object Relational {
     * (see graft.streaming.EventStream); here it runs in batch for the
     * oracle. window("1 hour").start == date_trunc('hour', ts).
     */
-  def q21_stream_window(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    t.events
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), money(col("value")).as("total_value"))
-      .select(
-        col("window.start").as("window_start"),
-        col("event_type"), col("n_events"), col("total_value")
-      )
+  def q21_stream_window(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream
+      .windowedAgg(Tables(spark, dir).events)
       .orderBy("window_start", "event_type")
-  }
 }
