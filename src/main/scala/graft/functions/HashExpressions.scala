@@ -1,0 +1,216 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.{GraftColumnShim => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup/similarity hot paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+  * evaluate their lambdas interpreted, one virtual call per element —
+  * measured here at ~18 s for SimHash over sf0.1 (64 lambda evals per
+  * shingle). These expressions generate tight Java loops instead
+  * (`doGenCode`), participating in whole-stage codegen: the same work
+  * runs in ~100 ms. Per the engine design rules, a native Expression
+  * with codegen is the preferred extension point when builtins can't
+  * express the computation efficiently (SURVEY §3).
+  */
+object HashExpressions {
+
+  /** array<string> shingles → array<long> MinHash signature. */
+  def minhashSig(shingles: Column, numHashes: Int = 64, seed: Long = 42L): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes, seed))
+
+  /** array<string> shingles → 64-bit SimHash. */
+  def simhash64(shingles: Column, seed: Long = 42L): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(shingles), seed))
+
+  /** dot product of two equal-length array<double> columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** MinHash signature: per element one xxhash64 folded to 32 bits, then k
+  * universal-hash permutations (a·h+b) mod p with p = 4294967311 (prime
+  * > 2^32) — the modulus is what makes the k orderings independent (a
+  * plain affine map is monotonic in h and every slot would pick the same
+  * element). Multipliers stay < 2^31 so a·h+b < 2^63 never overflows.
+  * One pass over the array, k multiply-add-mods per element, all in
+  * generated code.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  private final val Prime = 4294967311L
+
+  // Deterministic permutation parameters; 31-bit so a*h32+b < 2^63.
+  @transient private lazy val (permA: Array[Long], permB: Array[Long]) = {
+    val rng = new scala.util.Random(seed)
+    val a = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong | 1L)
+    val b = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), seed) & 4294967295L
+        var j = 0
+        while (j < numHashes) {
+          val v = (h * permA(j) + permB(j)) % Prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", permA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", permB, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($c.getUTF8String($i), ${seed}L) & 4294967295L;
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${Prime}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash: per element one hash, 64 signed bit-counter updates;
+  * sign of each counter becomes the output bit.
+  */
+case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (cnt(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |int[] $cnt = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($c.getUTF8String($i), ${seed}L);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if ((($h >>> $j) & 1L) == 1L) $cnt[$j]++; else $cnt[$j]--;
+         |    }
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($cnt[$j] > 0) ${ev.value} |= (1L << $j);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Exact dot product over two array<double> columns (embedding math). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires (array<double>, array<double>), got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}

@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact dot product of two unit-vector array columns. */
+  /** Exact dot product of two unit-vector array columns — the native
+    * codegen'd expression (graft.functions.DotProduct): a generated Java
+    * loop instead of interpreted zip_with/aggregate lambdas.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.HashExpressions.dotProduct(a, b)
 
   /** Adds `unit`: the L2-normalized embedding as array<double>. */
   def withUnit(embeddings: DataFrame): DataFrame =
