@@ -1,0 +1,82 @@
+package graft
+
+import graft.model._
+import org.apache.spark.sql.SparkSession
+
+/** Drop-in CLI mirroring the reference's command surface
+  * (reference: src/main.rs:29-38 — Check / Run / Test{fail_fast} / Docs):
+  *
+  *   runMain graft.GraftCli check|run|test|docs
+  *     [--project <dir>]      directory containing powersql.toml (default .)
+  *     [--data <dir>]         parquet table dir to register as sources
+  *     [--warehouse <dir>]    materialization target (default <project>/wh)
+  *     [--fail-fast]          stop tests at first failure
+  *
+  * A PowerSQL user points this at their existing powersql.toml + model/
+  * test .sql files unchanged; execution happens on Spark instead of
+  * PostgreSQL/BigQuery.
+  */
+object GraftCli {
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse {
+      System.err.println("usage: GraftCli check|run|test|docs [--project d] [--data d] [--warehouse d] [--fail-fast]")
+      sys.exit(2)
+    }
+    def flag(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val projectDir = flag("--project").getOrElse(".")
+    val spark = GraftSession.getOrCreate("graft-cli")
+    flag("--data").foreach(d => Tables(spark, d).registerAll())
+    val code = execute(spark, cmd, projectDir,
+      flag("--warehouse").getOrElse(s"$projectDir/wh"),
+      args.contains("--fail-fast"))
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable core: returns the process exit code. */
+  def execute(spark: SparkSession, cmd: String, projectDir: String,
+              warehouse: String, failFast: Boolean): Int = {
+    val project = Project.load(s"$projectDir/powersql.toml")
+    def resolve(dirs: Seq[String]) = dirs.map { d =>
+      if (new java.io.File(d).isAbsolute) d else s"$projectDir/$d"
+    }
+    val models = resolve(project.models).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseModelFile)
+    val tests = resolve(project.tests).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseTestFile)
+    val engine = new ModelEngine(spark)
+
+    cmd match {
+      case "check" =>
+        val schemas = engine.check(models)  // topo order: cycles throw here
+        schemas.toSeq.sortBy(_._1).foreach { case (name, schema) =>
+          println(s"Checking $name")
+          println(s"$name ${schema.simpleString}")
+        }
+        engine.checkTests(tests)
+        0
+      case "run" =>
+        engine.run(models, warehouse)
+        models.foreach(m => println(s"Ready ${m.name}"))
+        0
+      case "test" =>
+        val results = engine.test(tests, failFast)
+        var code = 0
+        results.foreach { case (msg, ok) =>
+          println(s"$msg...${if (ok) "OK" else "ERROR"}")
+          if (!ok) code = 1
+        }
+        code
+      case "docs" =>
+        val out = new java.io.File(s"$projectDir/docs")
+        out.mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$projectDir/docs/docs.md"), engine.docs(models))
+        println(s"Wrote $projectDir/docs/docs.md")
+        0
+      case other =>
+        System.err.println(s"Unknown command: $other")
+        2
+    }
+  }
+}
