@@ -37,6 +37,7 @@ object SparkEntry {
     "q19_json_extract" -> (Relational.q19_json_extract _),
     "q20_sessionize" -> (Relational.q20_sessionize _),
     "q21_stream_window" -> (Relational.q21_stream_window _),
+    "q22_stats" -> (Relational.q22_stats _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),

@@ -211,6 +211,16 @@ object Oracles {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    "q22_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+        |  ROUND(quantile_cont(l_quantity, 0.95), 2) AS p95_qty,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q21_stream_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |  COUNT(*) AS n_events,

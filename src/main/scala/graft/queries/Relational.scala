@@ -356,6 +356,25 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q22_stats — statistical aggregates: exact interpolated percentiles,
+    * sample stddev, correlation. Spark computes these with mergeable
+    * partial states (percentile buffers / moment sketches), so they
+    * distribute like any other agg; outputs rounded to absorb sub-ulp
+    * summation-order differences vs the oracle.
+    */
+  def q22_stats(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 2).as("p95_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp")
+      )
+      .orderBy("l_returnflag")
+  }
+
   /** q21_stream_window — tumbling event-time window (1 h) × event type.
     * Identical transform runs under Structured Streaming with a watermark
     * (see graft.streaming.EventStream); here it runs in batch for the

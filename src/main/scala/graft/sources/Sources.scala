@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface. The reference's "sources" are warehouse tables on
+  * the backend (reference: src/execute.rs); graft owns storage I/O, so
+  * the formats a pipeline needs are first-class here.
+  *
+  * Scale rules encoded below:
+  *  - always pass an explicit schema for text formats (schema inference
+  *    is a full extra pass over 100 TB);
+  *  - parquet everywhere it matters — columnar pruning + predicate
+  *    pushdown only exist there;
+  *  - partitioned layout on low-cardinality query keys so partition
+  *    pruning can skip files wholesale;
+  *  - bucketing on high-cardinality join keys so repeated joins on that
+  *    key skip their shuffle entirely.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema) // never infer: inference is a second full scan
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Hive-style partitioned parquet: directories per key value → partition
+    * pruning. Keep partition keys low-cardinality (date, category) or the
+    * file count explodes.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted table: rows are hash-distributed into `buckets`
+    * files by `bucketCol` at write time. Joins/aggregations on that key
+    * then read co-located data and skip the shuffle — the pre-partitioning
+    * strategy for fact⋈fact joins that repeat every pipeline run.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a location orphaned by a previous session (table gone from the
+    // catalog, files still on disk) blocks managed-table creation
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("csv and jsonl round-trip with explicit schemas") {
+    val orders = Tables(spark, sfDir).orders.limit(100)
+    val tmp = java.nio.file.Files.createTempDirectory("sources_").toString
+    orders.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    orders.write.mode("overwrite").json(s"$tmp/json")
+    val backCsv = Sources.csv(spark, s"$tmp/csv", orders.schema)
+    val backJson = Sources.jsonLines(spark, s"$tmp/json", orders.schema)
+    assert(backCsv.count() == 100 && backJson.count() == 100)
+    assert(backCsv.schema == orders.schema)
+  }
+
+  test("partitioned parquet layout enables partition pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("part_").toString
+    val orders = Tables(spark, sfDir).orders
+    Sources.writePartitioned(orders, s"$tmp/by_status", Seq("o_orderstatus"))
+    val pruned = Sources.parquet(spark, s"$tmp/by_status").filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"))
+    assert(pruned.count() == orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val t = Tables(spark, sfDir)
+    Sources.writeBucketed(t.lineitem, "li_bucketed", "l_orderkey", 8)
+    Sources.writeBucketed(t.orders, "ord_bucketed", "o_orderkey", 8)
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val joinSection = plan.linesIterator
+      .count(l => l.trim.matches("\\(\\d+\\) Exchange( .*)?"))
+    // one Exchange allowed for the tiny groupBy result; the JOIN itself
+    // must read co-located buckets — with a shuffle join there would be
+    // two more Exchanges (one per side) before the join
+    assert(joinSection <= 1, s"bucketed join must not shuffle its inputs:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
