@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextOps}
 import graft.queries.{ModelQueries, Oracles, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -38,6 +38,7 @@ object SparkEntry {
     "q20_sessionize" -> (Relational.q20_sessionize _),
     "q21_stream_window" -> (Relational.q21_stream_window _),
     "q22_stats" -> (Relational.q22_stats _),
+    "q23_asof_join" -> (AsofJoin.q23_asof_join _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),
@@ -57,6 +58,7 @@ object SparkEntry {
     "a1_model_dag" -> ModelQueries.a1_oracle,
     "a3_model_assert" -> ModelQueries.a3_oracle,
     "d1_dedup_exact" -> Dedup.d1_oracle,
+    "q23_asof_join" -> AsofJoin.q23_oracle,
     "t2_quality" -> TextOps.t2_oracle,
     "t3_token_count" -> TextOps.t3_oracle
   )

@@ -124,6 +124,59 @@ final class ModelEngine(spark: SparkSession) {
     }
   }
 
+  /** Incremental `run`: a table model is rebuilt only when its content
+    * hash — its own SQL chained with the hashes of every transitive
+    * upstream model — differs from the manifest of the previous run (or
+    * its materialized output is missing). Unchanged tables re-register
+    * from the existing parquet without touching the data. At 100 TB the
+    * difference between "rebuild the whole DAG" and "rebuild the one
+    * branch that changed" is the pipeline's entire cost; the hash chain
+    * guarantees an upstream edit rebuilds everything downstream of it.
+    *
+    * Returns per-model status: built | skipped | view.
+    */
+  def runIncremental(models: Seq[ModelStatement], warehouse: String): Map[String, String] = {
+    val byName = models.map(m => m.name -> m).toMap
+    val deps = dependencies(models)
+    val levels = topoLevels(deps)
+
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    def sha(s: String): String =
+      digest.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hashes = scala.collection.mutable.Map.empty[String, String]
+    for (level <- levels; name <- level)
+      hashes(name) = sha(byName(name).query + "|" + deps(name).sorted.map(hashes).mkString(","))
+
+    val manifestFile = new java.io.File(warehouse, "_graft_manifest.properties")
+    val previous = new java.util.Properties()
+    if (manifestFile.exists()) {
+      val in = new java.io.FileInputStream(manifestFile)
+      try previous.load(in) finally in.close()
+    }
+
+    val status = Map.newBuilder[String, String]
+    for (level <- levels; name <- level) byName(name) match {
+      case ViewModel(n, q) =>
+        spark.sql(q).createOrReplaceTempView(n)
+        status += n -> "view"
+      case TableModel(n, q) =>
+        val path = s"$warehouse/$n"
+        val unchanged = previous.getProperty(n) == hashes(n) && new java.io.File(path).exists()
+        if (!unchanged) {
+          spark.sql(q).write.mode("overwrite").parquet(path)
+          status += n -> "built"
+        } else status += n -> "skipped"
+        spark.read.parquet(path).createOrReplaceTempView(n)
+    }
+
+    new java.io.File(warehouse).mkdirs()
+    val next = new java.util.Properties()
+    hashes.foreach { case (k, v) => next.setProperty(k, v) }
+    val out = new java.io.FileOutputStream(manifestFile)
+    try next.store(out, "graft incremental-run manifest") finally out.close()
+    status.result()
+  }
+
   /** `test`: run each ASSERT as `SELECT (cond) AS condition` (reference:
     * src/main.rs:436-452), returning (message, passed) pairs.
     */
