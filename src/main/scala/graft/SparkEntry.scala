@@ -46,6 +46,7 @@ object SparkEntry {
     "d5_embed_dup" -> (Dedup.d5_embed_dup _),
     "s1_ann_topk" -> (Similarity.s1_ann_topk _),
     "s2_ann_lsh" -> (Similarity.s2_ann_lsh _),
+    "s3_ann_ivf" -> (Similarity.s3_ann_ivf _),
     "t1_lang_id" -> (TextOps.t1_lang_id _),
     "t2_quality" -> (TextOps.t2_quality _),
     "t3_token_count" -> (TextOps.t3_token_count _),

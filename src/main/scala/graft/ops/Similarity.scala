@@ -75,6 +75,68 @@ object Similarity {
     topKPerQuery(scored, 5)
   }
 
+  /** s3_ann_ivf — IVF-style ANN: a coarse quantizer (nlist centroids
+    * trained with 2 distributed Lloyd iterations) partitions the corpus
+    * into inverted lists; each query probes its `nprobe` nearest lists
+    * and ranks candidates exactly. The 100 TB shape: training touches the
+    * corpus twice (narrow map + 1024-row aggregate), assignment is one
+    * narrow pass, and each query scores ~nprobe/nlist of the corpus.
+    * Deterministic: centroids initialized from the first nlist vectors.
+    * [rows-only]
+    */
+  def s3_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val nlist = 16
+    val nprobe = 4
+    val unit = withUnit(Tables(spark, dir).embeddings)
+      .select("vec_id", "unit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // --- train: deterministic init + 2 Lloyd iterations ---
+    var centroids: Array[Array[Double]] = unit
+      .filter(col("vec_id") < nlist).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until 2) {
+      val assigned = assignToCentroid(unit, centroids)
+      // per-(cluster, dim) mean: 16×64 = 1024 rows back to the driver
+      val means = assigned
+        .select(col("cluster"), posexplode(col("unit")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim").agg(avg("v").as("m"))
+        .collect()
+      val next = Array.fill(nlist)(new Array[Double](64))
+      means.foreach(r => next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
+      centroids = next.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0) c else c.map(_ / n)
+      }
+    }
+
+    // --- assign corpus to inverted lists; queries probe nprobe lists ---
+    val lists = assignToCentroid(unit, centroids)
+    val queryProbes = unit.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
+      .withColumn("probes", slice(sortCentroidsByScore(col("qunit"), centroids), 1, nprobe))
+      .select(col("query_id"), col("qunit"), explode(col("probes")).as("cluster"))
+    val scored = lists.join(broadcast(queryProbes),
+        Seq("cluster")).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qunit"), col("unit")), 6).as("cosine"))
+    topKPerQuery(scored, 5)
+  }
+
+  /** cluster id = argmax_c dot(unit, centroid_c), ties to lowest id. */
+  private def assignToCentroid(unitDf: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    unitDf.withColumn("cluster",
+      element_at(sortCentroidsByScore(col("unit"), centroids), 1))
+
+  /** centroid ids sorted by descending dot-score against `v`. */
+  private def sortCentroidsByScore(v: Column, centroids: Array[Array[Double]]): Column = {
+    val scoredIds = centroids.zipWithIndex.map { case (c, i) =>
+      val w = array(c.map(lit).toIndexedSeq: _*)
+      struct((-dot(v, w)).as("negscore"), lit(i).as("id"))
+    }
+    transform(array_sort(array(scoredIds.toIndexedSeq: _*)), s => s.getField("id"))
+  }
+
   /** s2_ann_lsh — LSH-bucketed cosine top-5: queries probe only their
     * hyperplane bucket (single-probe). Trades recall for a ~2^planes
     * candidate reduction; the spec measures overlap vs s1. [rows-only]

@@ -125,6 +125,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s3_ann_ivf: probes nprobe lists, high overlap with exact top-k") {
+    val exact = Similarity.s1_ann_topk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.s3_ann_ivf(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    val pairs = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // nprobe=4 of nlist=16 lists → expect substantial (not full) recall
+    assert(pairs.intersect(exact).size >= exact.size / 4,
+      s"IVF recall too low: ${pairs.intersect(exact).size}/${exact.size}")
+  }
+
   test("s2_ann_lsh returns bucket-local neighbors; nonzero overlap with exact") {
     val exact = Similarity.s1_ann_topk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
