@@ -39,6 +39,8 @@ object SparkEntry {
     "q21_stream_window" -> (Relational.q21_stream_window _),
     "q22_stats" -> (Relational.q22_stats _),
     "q23_asof_join" -> (AsofJoin.q23_asof_join _),
+    "q24_session_window" -> (graft.ops.TimeOps.q24_session_window _),
+    "q25_range_join" -> (graft.ops.TimeOps.q25_range_join _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),
@@ -60,6 +62,8 @@ object SparkEntry {
     "a3_model_assert" -> ModelQueries.a3_oracle,
     "d1_dedup_exact" -> Dedup.d1_oracle,
     "q23_asof_join" -> AsofJoin.q23_oracle,
+    "q24_session_window" -> graft.ops.TimeOps.q24_oracle,
+    "q25_range_join" -> graft.ops.TimeOps.q25_oracle,
     "t2_quality" -> TextOps.t2_oracle,
     "t3_token_count" -> TextOps.t3_oracle
   )
