@@ -41,6 +41,7 @@ object SparkEntry {
     "q23_asof_join" -> (AsofJoin.q23_asof_join _),
     "q24_session_window" -> (graft.ops.TimeOps.q24_session_window _),
     "q25_range_join" -> (graft.ops.TimeOps.q25_range_join _),
+    "q26_entropy" -> (graft.functions.EntropyAggregator.q26_entropy _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "q23_asof_join" -> AsofJoin.q23_oracle,
     "q24_session_window" -> graft.ops.TimeOps.q24_oracle,
     "q25_range_join" -> graft.ops.TimeOps.q25_oracle,
+    "q26_entropy" -> graft.functions.EntropyAggregator.q26_oracle,
     "t2_quality" -> TextOps.t2_oracle,
     "t3_token_count" -> TextOps.t3_oracle
   )
