@@ -47,12 +47,14 @@ object SparkEntry {
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),
     "d4_ngram_jaccard" -> (Dedup.d4_ngram_jaccard _),
     "d5_embed_dup" -> (Dedup.d5_embed_dup _),
+    "d6_dedup_clusters" -> (Dedup.d6_dedup_clusters _),
     "s1_ann_topk" -> (Similarity.s1_ann_topk _),
     "s2_ann_lsh" -> (Similarity.s2_ann_lsh _),
     "s3_ann_ivf" -> (Similarity.s3_ann_ivf _),
     "t1_lang_id" -> (TextOps.t1_lang_id _),
     "t2_quality" -> (TextOps.t2_quality _),
     "t3_token_count" -> (TextOps.t3_token_count _),
+    "t5_normalize" -> (TextOps.t5_normalize _),
     "t4_fingerprint" -> (TextOps.t4_fingerprint _),
     "m1_multimodal" -> (Multimodal.m1_multimodal _)
   )
@@ -67,6 +69,7 @@ object SparkEntry {
     "q25_range_join" -> graft.ops.TimeOps.q25_oracle,
     "q26_entropy" -> graft.functions.EntropyAggregator.q26_oracle,
     "t2_quality" -> TextOps.t2_oracle,
-    "t3_token_count" -> TextOps.t3_oracle
+    "t3_token_count" -> TextOps.t3_oracle,
+    "t5_normalize" -> TextOps.t5_oracle
   )
 }

@@ -149,6 +149,46 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
   }
 
+  /** d6_dedup_clusters — connected components over the verified near-dup
+    * pair graph, by iterative min-label propagation: every document gets
+    * a cluster_id (the smallest doc_id reachable through near-dup edges)
+    * and `keep` marks the cluster representative. This is the step that
+    * turns pairwise similarity into an actual dedup decision.
+    *
+    * Scale: near-dup components are overwhelmingly tiny cliques
+    * (diameter ≤ a few hops), so a fixed 8 rounds of propagation — each
+    * one join + groupBy over the edge list, persisted to cut lineage —
+    * converges; components wider than 2^8 hops would need the
+    * large-star/small-star algorithm instead. [rows-only]
+    */
+  def d6_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d2_dedup_minhash(spark, dir).select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.unionAll(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // localCheckpoint (eager) after every round: materializes the round
+    // AND truncates the logical plan — without it the plan tree doubles
+    // per iteration and analysis itself blows up. On a cluster prefer
+    // reliable checkpoint(dir) so rounds survive executor loss.
+    var labels = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    for (_ <- 0 until 8) {
+      val msgs = edges
+        .join(labels, edges("id_a") === labels("doc_id"))
+        .select(col("id_b").as("doc_id"), col("label"))
+      labels = labels.select("doc_id", "label").unionAll(msgs)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("keep"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** d5_embed_dup — embedding-cosine near-dup: random-hyperplane LSH
     * buckets (8 planes → 256 buckets) generate candidates, exact cosine
     * ranks them; top-100 closest pairs. Only bucket-local pairs are ever

@@ -89,6 +89,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t5_normalize — canonical text normalization for dedup/training:
+    * lowercase → non-alphanumerics to spaces → collapse runs → trim.
+    * Pure narrow projection. [oracle]
+    */
+  def t5_normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.selectExpr(
+      "doc_id",
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')) AS norm_text"
+    ).selectExpr(
+      "doc_id", "norm_text",
+      "CAST(size(filter(split(norm_text, ' '), x -> x != '')) AS BIGINT) AS n_tokens"
+    ).orderBy("doc_id")
+
+  val t5_oracle: String =
+    """SELECT doc_id, norm_text,
+      |  CAST(len(list_filter(string_split(norm_text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** t4_fingerprint — rolling-hash document fingerprint: xxhash64 over
     * 3-token shingles, folded with min (content-defined, order-robust
     * against small edits). [rows-only: engine-specific hash]

@@ -106,6 +106,17 @@ class DedupSpec extends SparkSpec {
     assert(j.sameElements(j.sortBy(-_: Double)), "descending jaccard order")
   }
 
+  test("d6_dedup_clusters: chained near-dups collapse into one cluster with one keeper") {
+    val out = Dedup.d6_dedup_clusters(spark, plantedDir).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep"))).toMap
+    // 100, 101 (1-token edit) and 103 (exact copy of 100) chain into one cluster
+    assert(byDoc(100L)._1 == 100L && byDoc(100L)._2)
+    assert(byDoc(101L)._1 == 100L && !byDoc(101L)._2)
+    assert(byDoc(103L)._1 == 100L && !byDoc(103L)._2)
+    assert(!byDoc.contains(102L), "unrelated doc has no near-dup edges")
+  }
+
   test("d5_embed_dup emits top cosine pairs from LSH buckets") {
     val out = Dedup.d5_embed_dup(spark, sfDir).collect()
     assert(out.nonEmpty && out.length <= 100)
