@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 /** Drop-in CLI mirroring the reference's command surface
   * (reference: src/main.rs:29-38 — Check / Run / Test{fail_fast} / Docs):
   *
-  *   runMain graft.GraftCli check|run|test|docs
+  *   runMain graft.GraftCli check|run|run-incremental|test|docs
   *     [--project <dir>]      directory containing powersql.toml (default .)
   *     [--data <dir>]         parquet table dir to register as sources
   *     [--warehouse <dir>]    materialization target (default <project>/wh)
@@ -58,6 +58,10 @@ object GraftCli {
       case "run" =>
         engine.run(models, warehouse)
         models.foreach(m => println(s"Ready ${m.name}"))
+        0
+      case "run-incremental" =>
+        val status = engine.runIncremental(models, warehouse)
+        status.toSeq.sortBy(_._1).foreach { case (m, s) => println(s"$m: $s") }
         0
       case "test" =>
         val results = engine.test(tests, failFast)

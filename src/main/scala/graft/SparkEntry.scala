@@ -42,6 +42,7 @@ object SparkEntry {
     "q24_session_window" -> (graft.ops.TimeOps.q24_session_window _),
     "q25_range_join" -> (graft.ops.TimeOps.q25_range_join _),
     "q26_entropy" -> (graft.functions.EntropyAggregator.q26_entropy _),
+    "q27_profile" -> (graft.ops.Profile.q27_profile _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q24_session_window" -> graft.ops.TimeOps.q24_oracle,
     "q25_range_join" -> graft.ops.TimeOps.q25_oracle,
     "q26_entropy" -> graft.functions.EntropyAggregator.q26_oracle,
+    "q27_profile" -> graft.ops.Profile.q27_oracle,
     "t2_quality" -> TextOps.t2_oracle,
     "t3_token_count" -> TextOps.t3_oracle,
     "t5_normalize" -> TextOps.t5_oracle

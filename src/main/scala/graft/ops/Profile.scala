@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table profiling: per-column row/null/distinct counts and min/max —
+  * the summary a data-quality layer (reference: ASSERT tests) builds its
+  * expectations from.
+  *
+  * Shape: ONE pass over the table computing every column's aggregates
+  * together (a single wide aggregate, map-side partial), then a tiny
+  * unpivot of the 1-row result. Profiling N columns costs one scan, not
+  * N scans. `count(distinct)` over many columns would multiply shuffles,
+  * so distinct counts use exact count_distinct only in the oracle-checked
+  * per-column form here; swap `approxDistinct = true` at 100 TB for one
+  * HLL pass.
+  */
+object Profile {
+
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"${f.name}__nonnull"),
+        (if (approxDistinct) approx_count_distinct(c, 0.01) else countDistinct(c))
+          .as(s"${f.name}__distinct"),
+        min(c).cast("string").as(s"${f.name}__min"),
+        max(c).cast("string").as(s"${f.name}__max"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*).collect().head
+    val nRows = row.getAs[Long]("__rows")
+    df.schema.fields.map { f =>
+      (f.name, f.dataType.simpleString, nRows,
+        row.getAs[Long](s"${f.name}__nonnull"),
+        row.getAs[Long](s"${f.name}__distinct"),
+        row.getAs[String](s"${f.name}__min"),
+        row.getAs[String](s"${f.name}__max"))
+    }.toSeq
+      .toDF("col_name", "col_type", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+      .orderBy("col_name")
+  }
+
+  /** q27_profile — profile of the orders table. [oracle] */
+  def q27_profile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables(spark, dir).orders)
+
+  val q27_oracle: String = {
+    val cols = Seq(
+      "o_orderkey" -> "bigint", "o_custkey" -> "bigint", "o_orderstatus" -> "string",
+      "o_totalprice" -> "double", "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string")
+    cols.map { case (c, t) =>
+      val castT = if (t == "timestamp_ntz") s"CAST($c AS TIMESTAMP)" else c
+      s"""SELECT '$c' AS col_name, '$t' AS col_type,
+         |  (SELECT COUNT(*) FROM orders) AS n_rows,
+         |  COUNT($c) AS n_nonnull,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($castT) AS VARCHAR) AS min_val,
+         |  CAST(MAX($castT) AS VARCHAR) AS max_val
+         |FROM orders""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+  }
+}
