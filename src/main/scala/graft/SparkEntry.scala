@@ -56,6 +56,8 @@ object SparkEntry {
     "t2_quality" -> (TextOps.t2_quality _),
     "t3_token_count" -> (TextOps.t3_token_count _),
     "t5_normalize" -> (TextOps.t5_normalize _),
+    "t6_split" -> (TextOps.t6_split _),
+    "t7_pii_hash" -> (TextOps.t7_pii_hash _),
     "t4_fingerprint" -> (TextOps.t4_fingerprint _),
     "m1_multimodal" -> (Multimodal.m1_multimodal _)
   )
@@ -72,6 +74,8 @@ object SparkEntry {
     "q27_profile" -> graft.ops.Profile.q27_oracle,
     "t2_quality" -> TextOps.t2_oracle,
     "t3_token_count" -> TextOps.t3_oracle,
-    "t5_normalize" -> TextOps.t5_oracle
+    "t5_normalize" -> TextOps.t5_oracle,
+    "t6_split" -> TextOps.t6_oracle,
+    "t7_pii_hash" -> TextOps.t7_oracle
   )
 }

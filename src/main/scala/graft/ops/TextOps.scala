@@ -111,6 +111,52 @@ object TextOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** t6_split — deterministic train/val/test assignment (80/10/10) keyed
+    * on doc_id so the split is stable across runs and machines — a
+    * random() split would leak val docs into train on re-runs. Output is
+    * the per-(split, lang) histogram. [oracle]
+    */
+  def t6_split(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.selectExpr(
+      "lang",
+      """CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |     WHEN doc_id % 100 < 90 THEN 'val'
+        |     ELSE 'test' END AS split""".stripMargin)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+
+  val t6_oracle: String =
+    """SELECT split, lang, COUNT(*) AS n_docs FROM (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 100 < 80 THEN 'train'
+      |         WHEN doc_id % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
+  /** t7_pii_hash — governance pass: stable pseudonymization (sha256 of
+    * the name) + masking (balance bucketed, only last 2 chars of segment
+    * kept). Narrow projection; sha2 is identical across engines so the
+    * whole transform is oracle-checkable. [oracle]
+    */
+  def t7_pii_hash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer.selectExpr(
+      "c_custkey",
+      "sha2(c_name, 256) AS name_hash",
+      "concat('***', substring(c_mktsegment, length(c_mktsegment) - 1, 2)) AS segment_masked",
+      "CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_bucket"
+    ).orderBy("c_custkey")
+
+  val t7_oracle: String =
+    """SELECT c_custkey,
+      |  sha256(c_name) AS name_hash,
+      |  concat('***', substring(c_mktsegment, length(c_mktsegment) - 1, 2)) AS segment_masked,
+      |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_bucket
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** t4_fingerprint — rolling-hash document fingerprint: xxhash64 over
     * 3-token shingles, folded with min (content-defined, order-robust
     * against small edits). [rows-only: engine-specific hash]
