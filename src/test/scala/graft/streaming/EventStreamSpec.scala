@@ -53,6 +53,26 @@ class EventStreamSpec extends SparkSpec {
     assert(closed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark keeps first occurrence only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val deduped = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(UserEvent(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0))
+    q.processAllAvailable()
+    stream.addData(
+      UserEvent(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0), // dup within watermark
+      UserEvent(2, ts("2024-01-01 00:00:02"), 1, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_sink").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
