@@ -58,6 +58,7 @@ object SparkEntry {
     "t5_normalize" -> (TextOps.t5_normalize _),
     "t6_split" -> (TextOps.t6_split _),
     "t7_pii_hash" -> (TextOps.t7_pii_hash _),
+    "t8_vocab" -> (TextOps.t8_vocab _),
     "t4_fingerprint" -> (TextOps.t4_fingerprint _),
     "m1_multimodal" -> (Multimodal.m1_multimodal _)
   )
@@ -76,6 +77,7 @@ object SparkEntry {
     "t3_token_count" -> TextOps.t3_oracle,
     "t5_normalize" -> TextOps.t5_oracle,
     "t6_split" -> TextOps.t6_oracle,
-    "t7_pii_hash" -> TextOps.t7_oracle
+    "t7_pii_hash" -> TextOps.t7_oracle,
+    "t8_vocab" -> TextOps.t8_oracle
   )
 }

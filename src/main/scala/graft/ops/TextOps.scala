@@ -157,6 +157,27 @@ object TextOps {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** t8_vocab — corpus vocabulary statistics: global token frequencies,
+    * top 20 with deterministic tie-break. explode → count is the standard
+    * heavy-hitters shape: partial counts map-side, one shuffle keyed by
+    * token, TakeOrdered for the top-k. [oracle]
+    */
+  def t8_vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(expr(TOKENS)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  val t8_oracle: String =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token ASC
+      |LIMIT 20""".stripMargin
+
   /** t4_fingerprint — rolling-hash document fingerprint: xxhash64 over
     * 3-token shingles, folded with min (content-defined, order-robust
     * against small edits). [rows-only: engine-specific hash]
