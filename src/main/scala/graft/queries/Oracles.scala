@@ -211,6 +211,16 @@ object Oracles {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    "q28_window_ranks" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS prank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_mktsegment, drank, c_custkey""".stripMargin,
+
     "q22_stats" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,

@@ -356,6 +356,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q28_window_ranks — the full ranking-function family over one
+    * window: dense_rank, ntile, percent_rank, cume_dist. Ratios are
+    * exact integer fractions, so they compare bit-identically across
+    * engines. Unique (balance, custkey) ordering keeps every rank
+    * deterministic.
+    */
+  def q28_window_ranks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t.customer
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        dense_rank().over(w).cast("long").as("drank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("c_mktsegment", "drank", "c_custkey")
+  }
+
   /** q22_stats — statistical aggregates: exact interpolated percentiles,
     * sample stddev, correlation. Spark computes these with mergeable
     * partial states (percentile buffers / moment sketches), so they
