@@ -44,6 +44,7 @@ object SparkEntry {
     "q26_entropy" -> (graft.functions.EntropyAggregator.q26_entropy _),
     "q27_profile" -> (graft.ops.Profile.q27_profile _),
     "q28_window_ranks" -> (Relational.q28_window_ranks _),
+    "q29_scalar_funcs" -> (Relational.q29_scalar_funcs _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),

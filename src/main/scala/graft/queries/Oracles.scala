@@ -211,6 +211,20 @@ object Oracles {
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    "q29_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  reverse(p_brand) AS brand_rev,
+        |  lpad(p_brand, 12, '.') AS brand_pad,
+        |  repeat(left(p_type, 2), 3) AS type_rep,
+        |  CAST(instr(p_name, 'a') AS BIGINT) AS a_pos,
+        |  split_part(p_type, ' ', 1) AS type_first,
+        |  translate(p_brand, 'ab', 'xy') AS brand_tr,
+        |  nullif(p_size, 10) AS size_nn,
+        |  greatest(p_size, 25) AS size_hi,
+        |  least(p_size, 25) AS size_lo
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
     "q28_window_ranks" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,

@@ -376,6 +376,24 @@ object Relational {
       .orderBy("c_mktsegment", "drank", "c_custkey")
   }
 
+  /** q29_scalar_funcs — breadth of the scalar-function surface: string
+    * manipulation (reverse/lpad/repeat/left/instr/split_part/translate)
+    * and conditionals (nullif/greatest/least), all codegen'd builtins.
+    */
+  def q29_scalar_funcs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part.selectExpr(
+      "p_partkey",
+      "reverse(p_brand) AS brand_rev",
+      "lpad(p_brand, 12, '.') AS brand_pad",
+      "repeat(left(p_type, 2), 3) AS type_rep",
+      "CAST(instr(p_name, 'a') AS BIGINT) AS a_pos",
+      "split_part(p_type, ' ', 1) AS type_first",
+      "translate(p_brand, 'ab', 'xy') AS brand_tr",
+      "nullif(p_size, 10) AS size_nn",
+      "greatest(p_size, 25) AS size_hi",
+      "least(p_size, 25) AS size_lo"
+    ).orderBy("p_partkey")
+
   /** q22_stats — statistical aggregates: exact interpolated percentiles,
     * sample stddev, correlation. Spark computes these with mergeable
     * partial states (percentile buffers / moment sketches), so they
