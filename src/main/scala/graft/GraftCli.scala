@@ -64,6 +64,9 @@ object GraftCli {
         status.toSeq.sortBy(_._1).foreach { case (m, s) => println(s"$m: $s") }
         0
       case "test" =>
+        // standalone `test` in a fresh session: re-attach the DAG's
+        // materialized state before evaluating assertions
+        engine.registerWarehouse(models, warehouse)
         val results = engine.test(tests, failFast)
         var code = 0
         results.foreach { case (msg, ok) =>

@@ -15,6 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_model_dag" -> (ModelQueries.a1_model_dag _),
     "a3_model_assert" -> (ModelQueries.a3_model_assert _),
+    "a5_incremental" -> (ModelQueries.a5_incremental _),
     "q1_agg" -> (Relational.q1_agg _),
     "q2_filter_project" -> (Relational.q2_filter_project _),
     "q3_join_broadcast" -> (Relational.q3_join_broadcast _),
@@ -45,6 +46,12 @@ object SparkEntry {
     "q27_profile" -> (graft.ops.Profile.q27_profile _),
     "q28_window_ranks" -> (Relational.q28_window_ranks _),
     "q29_scalar_funcs" -> (Relational.q29_scalar_funcs _),
+    "q30_cube" -> (Relational.q30_cube _),
+    "q31_agg_breadth" -> (Relational.q31_agg_breadth _),
+    "q32_arrays" -> (Relational.q32_arrays _),
+    "q33_regexp" -> (Relational.q33_regexp _),
+    "q34_window_frames" -> (Relational.q34_window_frames _),
+    "q35_salted_join" -> (Relational.q35_salted_join _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),
@@ -62,6 +69,9 @@ object SparkEntry {
     "t7_pii_hash" -> (TextOps.t7_pii_hash _),
     "t8_vocab" -> (TextOps.t8_vocab _),
     "t4_fingerprint" -> (TextOps.t4_fingerprint _),
+    "t9_decontaminate" -> (graft.ops.PipelineOps.t9_decontaminate _),
+    "t10_pack_sequences" -> (graft.ops.PipelineOps.t10_pack_sequences _),
+    "t11_repetition" -> (graft.ops.PipelineOps.t11_repetition _),
     "m1_multimodal" -> (Multimodal.m1_multimodal _)
   )
 
@@ -69,7 +79,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Oracles.relational ++ Map(
     "a1_model_dag" -> ModelQueries.a1_oracle,
     "a3_model_assert" -> ModelQueries.a3_oracle,
+    "a5_incremental" -> ModelQueries.a5_oracle,
     "d1_dedup_exact" -> Dedup.d1_oracle,
+    "d4_ngram_jaccard" -> Dedup.d4_oracle,
+    "d6_dedup_clusters" -> Dedup.d6_oracle,
+    "s1_ann_topk" -> Similarity.s1_oracle,
+    "t1_lang_id" -> TextOps.t1_oracle,
+    "t9_decontaminate" -> graft.ops.PipelineOps.t9_oracle,
+    "t10_pack_sequences" -> graft.ops.PipelineOps.t10_oracle,
+    "t11_repetition" -> graft.ops.PipelineOps.t11_oracle,
     "q23_asof_join" -> AsofJoin.q23_oracle,
     "q24_session_window" -> graft.ops.TimeOps.q24_oracle,
     "q25_range_join" -> graft.ops.TimeOps.q25_oracle,

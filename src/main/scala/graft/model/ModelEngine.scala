@@ -124,6 +124,29 @@ final class ModelEngine(spark: SparkSession) {
     }
   }
 
+  /** Re-attach a previously materialized DAG to a fresh session without
+    * executing anything: table models re-register from their warehouse
+    * parquet (skipped if never built — downstream analysis then names the
+    * missing table), view models re-create as lazy temp views in topo
+    * order. This is what makes `test` (and any read-only session) work
+    * standalone after a `run` in an earlier process — the reference gets
+    * this for free from its persistent backend (src/execute.rs:21-28);
+    * on Spark the warehouse IS the persistence, so re-registration is an
+    * explicit, zero-job step.
+    */
+  def registerWarehouse(models: Seq[ModelStatement], warehouse: String): Unit = {
+    val byName = models.map(m => m.name -> m).toMap
+    for (level <- topoLevels(dependencies(models)); name <- level)
+      byName(name) match {
+        case TableModel(n, _) =>
+          val path = new java.io.File(warehouse, n)
+          if (path.exists())
+            spark.read.parquet(path.toString).createOrReplaceTempView(n)
+        case ViewModel(n, q) =>
+          spark.sql(q).createOrReplaceTempView(n)
+      }
+  }
+
   /** Incremental `run`: a table model is rebuilt only when its content
     * hash — its own SQL chained with the hashes of every transitive
     * upstream model — differs from the manifest of the previous run (or

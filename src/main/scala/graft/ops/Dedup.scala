@@ -139,15 +139,68 @@ object Dedup {
       .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
   }
 
-  /** d4_ngram_jaccard — exact 2-gram Jaccard scores for every LSH
-    * candidate pair (no threshold): the ranked near-dup report. [rows-only]
+  /** d4_ngram_jaccard — EXACT n-gram Jaccard dedup via an inverted
+    * shingle index: candidate pairs are documents sharing at least one
+    * discriminative shingle (document frequency in [2, 20] — the df cap
+    * is the classic prefix-filter/stopword guard: a shingle occurring in
+    * thousands of documents generates quadratic candidates while carrying
+    * no signal), then every candidate is verified with the full exact
+    * Jaccard and kept at >= 0.5.
+    *
+    * Unlike d2/d3 (probabilistic LSH — the cheap 100 TB path), this is
+    * fully deterministic and engine-independent, so it is the
+    * hash-checked ground truth the LSH paths are measured against.
+    * Scale shape: one explode (narrow), one df groupBy, one self-join on
+    * shingle keys whose fan-out the df cap bounds, one verify join.
+    * [oracle]
     */
   def d4_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(Tables(spark, dir).documents)
-    val cands = lshCandidates(withMinhash(sh), bands = 16, rowsPerBand = 4, maxBucket = 100)
-    withJaccard(cands, sh)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = inv.groupBy("shingle").count()
+      .filter(col("count").between(2, 20)).select("shingle")
+    val posting = inv.join(rare, Seq("shingle"), "left_semi")
+    val cand = posting.as("l")
+      .join(posting.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
   }
+
+  /** DuckDB mirror of d4: same shingling, df window, and Jaccard
+    * arithmetic (integer intersection / (|A|+|B|-inter), rounded once).
+    */
+  val d4_oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [array_to_string(toks, ' ')] END) AS shingles
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM documents)),
+      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20),
+      |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
+      |         JOIN (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) r
+      |           ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |         GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b,
+      |        round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      |      FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+      |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+      |ORDER BY jaccard DESC, id_a ASC, id_b ASC""".stripMargin
 
   /** d6_dedup_clusters — connected components over the verified near-dup
     * pair graph, by iterative min-label propagation: every document gets
@@ -155,39 +208,82 @@ object Dedup {
     * and `keep` marks the cluster representative. This is the step that
     * turns pairwise similarity into an actual dedup decision.
     *
+    * The edge list is d4's exact-Jaccard pairs (>= 0.5) — deterministic,
+    * so the whole operator is oracle-checked against a recursive-CTE
+    * transitive closure in DuckDB. Swapping in d2's LSH pairs gives the
+    * identical propagation at 100 TB scale.
+    *
     * Scale: near-dup components are overwhelmingly tiny cliques
-    * (diameter ≤ a few hops), so a fixed 8 rounds of propagation — each
-    * one join + groupBy over the edge list, persisted to cut lineage —
-    * converges; components wider than 2^8 hops would need the
-    * large-star/small-star algorithm instead. [rows-only]
+    * (diameter ≤ a few hops). Each round is one join + groupBy over the
+    * edge list, localCheckpoint'd (eager) to truncate lineage — without
+    * that the plan tree doubles per iteration and analysis itself blows
+    * up (on a cluster prefer reliable checkpoint(dir) so rounds survive
+    * executor loss). Propagation stops as soon as a round changes no
+    * label (the convergence count rides the same job); components wider
+    * than ~12 hops would need large-star/small-star instead. [oracle]
     */
   def d6_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d2_dedup_minhash(spark, dir).select("id_a", "id_b")
+    val pairs = d4_ngram_jaccard(spark, dir).select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    // localCheckpoint (eager) after every round: materializes the round
-    // AND truncates the logical plan — without it the plan tree doubles
-    // per iteration and analysis itself blows up. On a cluster prefer
-    // reliable checkpoint(dir) so rounds survive executor loss.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = pairs.select(col("id_a").as("doc_id"))
       .unionAll(pairs.select(col("id_b").as("doc_id")))
       .distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
-    for (_ <- 0 until 8) {
+    var round = 0
+    var converged = false
+    while (round < 12 && !converged) {
       val msgs = edges
         .join(labels, edges("id_a") === labels("doc_id"))
         .select(col("id_b").as("doc_id"), col("label"))
-      labels = labels.select("doc_id", "label").unionAll(msgs)
-        .groupBy("doc_id").agg(min("label").as("label"))
+      val next = labels.select(col("doc_id"), col("label").as("old_label"))
+        .join(
+          labels.select("doc_id", "label").unionAll(msgs)
+            .groupBy("doc_id").agg(min("label").as("label")),
+          Seq("doc_id"))
         .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      labels = next.select("doc_id", "label")
+      round += 1
     }
     labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep"))
       .orderBy("cluster_id", "doc_id")
   }
+
+  /** DuckDB mirror of d6: d4's pair contract, then reachability by
+    * recursive CTE and min-reachable-id per node.
+    */
+  val d6_oracle: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [array_to_string(toks, ' ')] END) AS shingles
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM documents)),
+      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20),
+      |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
+      |         JOIN (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) r
+      |           ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |         GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b FROM (
+      |  SELECT id_a, id_b,
+      |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+      |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+      |  WHERE jaccard >= 0.5),
+      |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(s, t) AS (SELECT s, s FROM edges
+      |                UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+      |SELECT s AS doc_id, MIN(t) AS cluster_id, (MIN(t) = s) AS keep
+      |FROM reach GROUP BY s ORDER BY cluster_id, doc_id""".stripMargin
 
   /** d5_embed_dup — embedding-cosine near-dup: random-hyperplane LSH
     * buckets (8 planes → 256 buckets) generate candidates, exact cosine

@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond per-document analysis
+  * (SURVEY §2C): benchmark decontamination, sequence packing, and
+  * within-document repetition scoring. All three are deterministic
+  * integer/rounded arithmetic, so every operator here is hash-checked
+  * against a DuckDB oracle.
+  */
+object PipelineOps {
+
+  /** Distinct word-5-gram set per document (decontamination standard:
+    * n high enough that cross-document collisions mean real overlap).
+    */
+  private val FIVE_GRAMS =
+    """array_distinct(CASE WHEN size(toks) >= 5 THEN
+      |  transform(sequence(0, size(toks) - 5),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))
+      |ELSE array(concat_ws(' ', toks)) END)""".stripMargin
+
+  /** t9_decontaminate — benchmark decontamination: flag training
+    * documents sharing any word-5-gram with the held-out test split
+    * (t6's deterministic doc_id%100 split, so train/test membership is
+    * stable). The held-out side's distinct n-gram set is tiny relative
+    * to the corpus (10% of docs), so at 100 TB the eval n-gram set is
+    * the broadcast side of the join and the training corpus is never
+    * shuffled; output is one row per training doc with the overlap
+    * count. [oracle]
+    */
+  def t9_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .withColumn("toks", expr(TextOps.TOKENS))
+      .select(col("doc_id"), explode(expr(FIVE_GRAMS)).as("gram"))
+    val train = grams.filter(col("doc_id") % 100 < 80)
+    val eval_ = grams.filter(col("doc_id") % 100 >= 90)
+      .select(col("gram")).distinct()
+    val overlap = train.join(broadcast(eval_), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    Tables(spark, dir).documents.filter(col("doc_id") % 100 < 80)
+      .select("doc_id")
+      .join(overlap, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_shared_grams") > 0, lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val t9_oracle: String =
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+      |    THEN list_transform(range(1, len(toks) - 3),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+      |    ELSE [array_to_string(toks, ' ')] END)) AS gram
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM documents)),
+      |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 >= 90),
+      |overlap AS (SELECT doc_id, COUNT(*) AS n_shared_grams
+      |            FROM grams JOIN ev USING (gram)
+      |            WHERE doc_id % 100 < 80 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(o.n_shared_grams, 0) AS n_shared_grams,
+      |  COALESCE(o.n_shared_grams > 0, false) AS contaminated
+      |FROM documents d LEFT JOIN overlap o ON d.doc_id = o.doc_id
+      |WHERE d.doc_id % 100 < 80
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** t10_pack_sequences — sequence packing: concatenate documents into
+    * fixed token-budget training chunks (budget 512), per language,
+    * in deterministic doc_id order. Chunk assignment is
+    * floor(exclusive-prefix-token-sum / budget): a pure window
+    * computation — one shuffle on (lang), no driver-side state — so it
+    * scales to any corpus (the greedy first-fit variant needs a
+    * sequential scan per group; prefix-sum packing is the
+    * order-preserving distributed formulation). Output is the per-chunk
+    * manifest. [oracle]
+    */
+  def t10_pack_sequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(spark, dir).documents
+      .withColumn("n_tokens", expr(s"CAST(size(${TextOps.TOKENS}) AS BIGINT)"))
+      .withColumn("chunk_id",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / budget).cast("long"))
+      .groupBy("lang", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("chunk_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("lang", "chunk_id")
+  }
+
+  val t10_oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |chunked AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS chunk_id
+      |  FROM toks)
+      |SELECT lang, chunk_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM chunked GROUP BY lang, chunk_id
+      |ORDER BY lang, chunk_id""".stripMargin
+
+  /** t11_repetition — within-document repetition scoring (the
+    * boilerplate/spam signal): total vs distinct word-3-gram counts and
+    * the hottest 3-gram's multiplicity per document. Shape: explode →
+    * two-level groupBy, all counts partial-aggregated map-side; one
+    * shuffle keyed by (doc_id, gram) then (doc_id). [oracle]
+    */
+  def t11_repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables(spark, dir).documents
+      .withColumn("toks", expr(TextOps.TOKENS))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin)).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max("c").as("max_gram_count"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct_grams"), col("max_gram_count"),
+        round(lit(1.0) - col("n_distinct_grams") / col("n_grams").cast("double"), 4)
+          .as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  val t11_oracle: String =
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3),
+      |per_gram AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_grams,
+      |  COUNT(*) AS n_distinct_grams,
+      |  CAST(MAX(c) AS BIGINT) AS max_gram_count,
+      |  round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_fraction
+      |FROM per_gram GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

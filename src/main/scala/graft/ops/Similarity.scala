@@ -63,7 +63,14 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** s1_ann_topk — exact cosine top-5 for queries vec_id < 10. [rows-only] */
+  /** s1_ann_topk — exact cosine top-5 for queries vec_id < 10.
+    *
+    * Oracle-checked: unit-normalization and the dot product are
+    * sequential double folds in both engines (float→double cast is
+    * exact, division and multiply-add are IEEE-deterministic), and
+    * ranking happens on the ROUNDED cosine with a neighbor_id tiebreak,
+    * so rank order is engine-independent. [oracle]
+    */
   def s1_ann_topk(spark: SparkSession, dir: String): DataFrame = {
     val unit = withUnit(Tables(spark, dir).embeddings)
       .withColumn("bucket", lit(0L))
@@ -74,6 +81,32 @@ object Similarity {
         round(dot(col("qunit"), col("unit")), 6).as("cosine"))
     topKPerQuery(scored, 5)
   }
+
+  /** DuckDB mirror of s1: same normalize→dot→round→rank pipeline.
+    * list_dot_product(v, v) supplies the squared norm so the summation
+    * pairing matches the Spark side's fold exactly.
+    */
+  val s1_oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id,
+      |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+      |  FROM v),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.unit, c.unit), 6) AS cosine
+      |  FROM u q JOIN u c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cosine, rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   /** s3_ann_ivf — IVF-style ANN: a coarse quantizer (nlist centroids
     * trained with 2 distributed Lloyd iterations) partitions the corpus

@@ -65,7 +65,8 @@ object TextOps {
   /** t1_lang_id — marker-token language scoring (en/es/de/fr), argmax
     * with 'und' fallback. A real pipeline swaps the marker lists for
     * char-n-gram profiles; the operator shape (per-row scoring, no
-    * shuffle) is the part that matters at scale. [rows-only]
+    * shuffle) is the part that matters at scale. Integer scores →
+    * fully oracle-checkable. [oracle]
     */
   def t1_lang_id(spark: SparkSession, dir: String): DataFrame = {
     val markers = Map(
@@ -88,6 +89,30 @@ object TextOps {
         "best.score AS score")
       .orderBy("doc_id")
   }
+
+  /** DuckDB mirror of t1. Spark's argmax is `greatest` over
+    * (score, lang) structs — lexicographic, so ties go to the
+    * alphabetically LAST language; the CASE chain checks languages in
+    * reverse-alphabetical order to reproduce that exactly.
+    */
+  val t1_oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |  CAST(len(list_filter(t, x -> x IN ('the','and','of','a','to','in','is'))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(t, x -> x IN ('el','la','de','los','y','que','es'))) AS BIGINT) AS s_es,
+      |  CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht'))) AS BIGINT) AS s_de,
+      |  CAST(len(list_filter(t, x -> x IN ('le','les','des','et','est','une'))) AS BIGINT) AS s_fr
+      |  FROM toks),
+      |b AS (SELECT doc_id, lang, greatest(s_de, s_en, s_es, s_fr) AS m,
+      |             s_de, s_en, s_es, s_fr FROM s)
+      |SELECT doc_id, lang AS lang_declared,
+      |  CASE WHEN m <= 0 THEN 'und'
+      |       WHEN s_fr = m THEN 'fr' WHEN s_es = m THEN 'es'
+      |       WHEN s_en = m THEN 'en' ELSE 'de' END AS lang_pred,
+      |  m AS score
+      |FROM b ORDER BY doc_id""".stripMargin
 
   /** t5_normalize — canonical text normalization for dedup/training:
     * lowercase → non-alphanumerics to spaces → collapse runs → trim.

@@ -80,6 +80,46 @@ object ModelQueries {
     results.toDF("test", "passed").orderBy(col("test"))
   }
 
+  /** a5_incremental — hash-chained incremental materialization driven
+    * end-to-end: run a 2-table DAG, re-run unchanged (everything skips —
+    * enforced), then edit the upstream model and re-run (the changed
+    * branch rebuilds — enforced). The returned table is the final state,
+    * so the oracle is simply the edited DAG's SQL: incrementality must
+    * never change results, only skip work. (Reference semantics:
+    * PowerSQL rebuilds everything every run — src/execute.rs:77-111;
+    * change-hash skipping is what a 100 TB nightly DAG needs.)
+    */
+  def a5_incremental(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val wh = tmpWarehouse()
+    def dag(threshold: Int) = ModelParser.parseModelFile(
+      s"""CREATE TABLE inc_big_orders AS
+         |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         |  WHERE o_totalprice > $threshold;
+         |CREATE TABLE inc_prio_summary AS
+         |  SELECT o_orderpriority,
+         |    COUNT(*) AS n_orders,
+         |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+         |  FROM inc_big_orders GROUP BY o_orderpriority
+         |""".stripMargin)
+    val engine = new ModelEngine(spark)
+    val s1 = engine.runIncremental(dag(100000), wh)
+    require(s1.valuesIterator.forall(_ == "built"), s"first run must build all: $s1")
+    val s2 = engine.runIncremental(dag(100000), wh)
+    require(s2.valuesIterator.forall(_ == "skipped"), s"unchanged re-run must skip all: $s2")
+    val s3 = engine.runIncremental(dag(150000), wh)
+    require(s3.valuesIterator.forall(_ == "built"), s"upstream edit must rebuild the chain: $s3")
+    spark.table("inc_prio_summary").orderBy("o_orderpriority")
+  }
+
+  val a5_oracle: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+      |FROM orders WHERE o_totalprice > 150000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val a3_oracle: String =
     """SELECT * FROM (
       |  SELECT 'order totalprice should be positive' AS test,

@@ -14,6 +14,94 @@ object Oracles {
   private val MONEY_Q = "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE)"
 
   val relational: Map[String, String] = Map(
+    "q30_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q31_agg_breadth" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |mode_t AS (
+        |  SELECT c_mktsegment,
+        |    arg_max(c_nationkey, cnt * 1000000 - c_nationkey) AS mode_nation
+        |  FROM m GROUP BY 1),
+        |agg AS (
+        |  SELECT c_mktsegment,
+        |    COUNT(*) AS n,
+        |    round(median(c_acctbal), 4) AS median_bal,
+        |    arg_min(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000 + c_custkey) AS poorest_name,
+        |    arg_max(c_name, CAST(round(c_acctbal * 100, 0) AS BIGINT) * 1000000 + c_custkey) AS richest_name,
+        |    COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+        |    bool_and(c_acctbal > 0) AS all_pos,
+        |    bool_or(c_acctbal < 0) AS any_neg,
+        |    CAST(bit_and(c_custkey) AS BIGINT) AS key_and,
+        |    CAST(bit_or(c_custkey) AS BIGINT) AS key_or,
+        |    CAST(bit_xor(c_custkey) AS BIGINT) AS key_xor,
+        |    array_to_string(list_sort(array_agg(c_name))[1:3], '|') AS first_names
+        |  FROM customer GROUP BY 1)
+        |SELECT agg.*, mode_t.mode_nation
+        |FROM agg JOIN mode_t USING (c_mktsegment)
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q32_arrays" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS uniq
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(uniq) AS BIGINT) AS n_uniq,
+        |  uniq[1] AS first_tok,
+        |  toks[-1] AS last_tok,
+        |  array_to_string(uniq[1:5], ' ') AS top5,
+        |  list_contains(toks, 'the') AS has_the,
+        |  CAST(list_position(toks, 'data') AS BIGINT) AS pos_data,
+        |  CAST(len(list_intersect(uniq, ['data', 'table', 'query'])) AS BIGINT) AS n_kw
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q33_regexp" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+        |  regexp_matches(p_brand, '[0-9][0-9]') AS brand_2digit,
+        |  TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q34_window_frames" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |  last_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+        |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY us
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_30d
+        |FROM t ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q35_salted_join" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  $MONEY_Q AS sum_qty,

@@ -422,4 +422,135 @@ object Relational {
     graft.streaming.EventStream
       .windowedAgg(Tables(spark, dir).events)
       .orderBy("window_start", "event_type")
+
+  /** q30_cube — full CUBE grouping sets with grouping_id: every
+    * (status × priority) margin in one pass. Spark plans this as a single
+    * Expand + hash aggregate — rows ×4, still one shuffle (the grouping-
+    * sets shape that replaces 4 separate scans at 100 TB).
+    */
+  def q30_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 2)
+          .cast("double").as("revenue"))
+      .orderBy(col("gid").asc,
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** q31_agg_breadth — the wide aggregate surface: exact median, argmin/
+    * argmax (min_by/max_by over a collision-free integer key — 100·balance
+    * concatenated with the unique custkey — so ties are impossible and the
+    * result is engine-independent), filtered counts, boolean aggregates,
+    * bitwise aggregates, a deterministic manual mode (highest count, ties
+    * to lowest value: the two-level groupBy shape that distributes), and
+    * an ordered string sample.
+    */
+  def q31_agg_breadth(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    val balKey = (round(col("c_acctbal") * 100, 0).cast("long") * 1000000L + col("c_custkey"))
+    val main = c.groupBy("c_mktsegment").agg(
+      count(lit(1)).as("n"),
+      round(expr("median(c_acctbal)"), 4).as("median_bal"),
+      min_by(col("c_name"), balKey).as("poorest_name"),
+      max_by(col("c_name"), balKey).as("richest_name"),
+      expr("count_if(c_acctbal > 0)").as("n_pos"),
+      expr("bool_and(c_acctbal > 0)").as("all_pos"),
+      expr("bool_or(c_acctbal < 0)").as("any_neg"),
+      expr("bit_and(c_custkey)").as("key_and"),
+      expr("bit_or(c_custkey)").as("key_or"),
+      expr("bit_xor(c_custkey)").as("key_xor"),
+      concat_ws("|", slice(sort_array(collect_list(col("c_name"))), 1, 3)).as("first_names"))
+    val mode = c.groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("cnt"))
+      .groupBy("c_mktsegment")
+      .agg(max_by(col("c_nationkey"), col("cnt") * 1000000L - col("c_nationkey")).as("mode_nation"))
+    main.join(mode, Seq("c_mktsegment")).orderBy("c_mktsegment")
+  }
+
+  /** q32_arrays — array-function surface over tokenized documents:
+    * distinct/sort/slice/contains/position/negative-index/intersect.
+    * Pure narrow projection (the 100 TB shape: no shuffle at all).
+    */
+  def q32_arrays(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("toks", expr(graft.ops.TextOps.TOKENS))
+      .withColumn("uniq", sort_array(array_distinct(col("toks"))))
+      .select(
+        col("doc_id"),
+        size(col("uniq")).cast("long").as("n_uniq"),
+        element_at(col("uniq"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"),
+        concat_ws(" ", slice(col("uniq"), 1, 5)).as("top5"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_position(col("toks"), "data").cast("long").as("pos_data"),
+        size(array_intersect(col("uniq"), array(lit("data"), lit("table"), lit("query"))))
+          .cast("long").as("n_kw"))
+      .orderBy("doc_id")
+
+  /** q33_regexp — regular-expression surface: extract (group), global
+    * replace, extract_all count, rlike, and try_cast of an extracted
+    * group. Patterns are POSIX-basic so Java (Spark) and RE2-style
+    * (DuckDB) semantics agree.
+    */
+  def q33_regexp(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part.selectExpr(
+      "p_partkey",
+      "regexp_extract(p_name, '([a-z]+)$', 1) AS last_word",
+      "regexp_replace(p_name, '[aeiou]', '') AS no_vowels",
+      "CAST(size(regexp_extract_all(p_name, '[a-z]+', 0)) AS BIGINT) AS n_words",
+      "p_brand RLIKE '[0-9][0-9]' AS brand_2digit",
+      "TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num"
+    ).orderBy("p_partkey")
+
+  /** q34_window_frames — value window functions with explicit frames:
+    * first/last/nth over rows frames and a 30-day RANGE frame over epoch
+    * micros (the time-decayed running total; range frames need a single
+    * numeric ordering key in both engines). Money stays in the decimal
+    * discipline inside the frame sum.
+    */
+  def q34_window_frames(spark: SparkSession, dir: String): DataFrame = {
+    val wRows = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wGrow = wRows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = wRows.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRange = Window.partitionBy("o_custkey").orderBy(col("us"))
+      .rangeBetween(-30L * 86400 * 1000000, 0)
+    Tables(spark, dir).orders
+      .withColumn("us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(wGrow).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(wRange), 2)
+          .cast("double").as("sum_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q35_salted_join — skew-safe salted join: every fact row gets one of
+    * 8 salts, the dim side is replicated across all 8, and the join key
+    * becomes (key, salt) — a hot orderkey's rows now land on 8 reducers
+    * instead of one. Result is identical to the unsalted join (the oracle
+    * IS the plain join), which is the point: salting changes the
+    * partitioning, never the semantics. AQE's skew split does this
+    * adaptively; explicit salting is for when a key is so hot a single
+    * split can't hold it.
+    */
+  def q35_salted_join(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val salts = 8
+    val fact = t.lineitem.withColumn(
+      "salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).cast("int"))
+    val dim = t.orders.withColumn(
+      "salt", explode(array((0 until salts).map(lit): _*)))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4))), 2)
+          .cast("double").as("total_price"))
+      .orderBy("o_orderpriority")
+  }
 }
