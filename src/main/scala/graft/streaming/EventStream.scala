@@ -10,6 +10,8 @@ final case class UserEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long
 
 final case class UserRunningState(n_events: Long, total_value: Double)
 final case class UserRunningCount(user_id: Long, n_events: Long, total_value: Double)
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp, n_events: Long)
+final case class SessionState(start: Long, last: Long, n: Long)
 
 /** Structured Streaming surface (SURVEY §2 q21 + §3): the same
   * declarative transforms run in batch and under `readStream` — Spark's
@@ -56,6 +58,71 @@ object EventStream {
           batch.foreach { e => n += 1; v += e.value }
           state.update(UserRunningState(n, v))
           UserRunningCount(userId, n, v)
+      }
+  }
+
+  /** Stream-stream inner join: for every click, the views by the same
+    * user within the following hour. Both sides carry watermarks and the
+    * join condition bounds event time on both sides, so Spark can size
+    * the join state and evict rows older than watermark − bound — the
+    * only formulation that survives unbounded streams. The identical
+    * expression runs in batch (the spec's oracle).
+    */
+  def clickThenView(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val l = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+      col("event_id").as("click_id"))
+    val r = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+      col("event_id").as("view_id"))
+    l.join(r, expr(
+      "c_user = v_user AND v_ts > c_ts AND v_ts <= c_ts + INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
+  /** Streaming variant with the state-bounding watermarks. */
+  def clickThenViewStream(clicks: DataFrame, views: DataFrame): DataFrame =
+    clickThenView(
+      clicks.withWatermark("ts", "2 hours"),
+      views.withWatermark("ts", "2 hours"))
+
+  /** Custom gap-based sessionization via flatMapGroupsWithState with
+    * event-time timeout: a session closes when 30 min pass with no event
+    * (decided by the watermark, not wall clock). Sessions that close
+    * inside a batch emit immediately; the open tail lives in keyed state
+    * with a timeout at last + gap, so state stays O(active users).
+    * This is the hand-rolled equivalent of q24's native session_window —
+    * the shape to use when session logic needs custom state (e.g. carry
+    * per-session aggregates the built-in can't express).
+    */
+  def sessionizeWithState(events: Dataset[UserEvent]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          val times = batch.map(_.ts.getTime).toSeq.sorted
+          val closed = Seq.newBuilder[ClosedSession]
+          if (times.isEmpty) {
+            // woken by timeout: the open session's gap has passed
+            state.getOption.foreach { s =>
+              closed += ClosedSession(userId, new java.sql.Timestamp(s.start), s.n)
+            }
+            state.remove()
+          } else {
+            var cur = state.getOption.getOrElse(SessionState(times.head, times.head, 0L))
+            for (t <- times) {
+              if (t - cur.last > gapMs) {
+                closed += ClosedSession(userId, new java.sql.Timestamp(cur.start), cur.n)
+                cur = SessionState(t, t, 1L)
+              } else cur = SessionState(cur.start, t, cur.n + 1)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.last + gapMs)
+          }
+          closed.result().iterator
       }
   }
 

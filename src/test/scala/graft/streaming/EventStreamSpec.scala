@@ -73,6 +73,60 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream join with watermarks equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val views = MemoryStream[UserEvent]
+    val q = EventStream.clickThenViewStream(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    val clickRows = Seq(
+      UserEvent(10, ts("2024-01-01 00:00:00"), 1, "click", 0),
+      UserEvent(11, ts("2024-01-01 03:00:00"), 2, "click", 0))
+    val viewRows = Seq(
+      UserEvent(20, ts("2024-01-01 00:30:00"), 1, "view", 0), // within 1 h of click 10
+      UserEvent(21, ts("2024-01-01 02:00:00"), 1, "view", 0), // too late for click 10
+      UserEvent(22, ts("2024-01-01 03:10:00"), 2, "view", 0)) // within 1 h of click 11
+    clicks.addData(clickRows: _*)
+    views.addData(viewRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join")
+      .select("click_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStream.clickThenView(clickRows.toDF(), viewRows.toDF())
+      .select("click_id", "view_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch == Set((10L, 20L), (11L, 22L)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    val q = EventStream.sessionizeWithState(stream.toDS())
+      .writeStream.format("memory").queryName("fmgws_sessions")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: two sessions for user 1 separated by a >30 min gap;
+    // the first closes in-batch, the second stays open in state
+    stream.addData(
+      UserEvent(1, ts("2024-01-01 00:00:00"), 1, "e", 0),
+      UserEvent(2, ts("2024-01-01 00:10:00"), 1, "e", 0),
+      UserEvent(3, ts("2024-01-01 01:00:00"), 1, "e", 0))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("fmgws_sessions").collect()
+    assert(afterBatch1.length == 1)
+    assert(afterBatch1.head.getAs[Long]("n_events") == 2)
+    // batch 2: far-future event for another user advances the watermark
+    // past the open session's timeout → it closes via EventTimeTimeout
+    stream.addData(UserEvent(9, ts("2024-01-01 06:00:00"), 2, "e", 0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("fmgws_sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSet
+    assert(all.contains((1L, 2L)) && all.contains((1L, 1L)))
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
