@@ -30,7 +30,15 @@ object Profile {
         min(c).cast("string").as(s"${f.name}__min"),
         max(c).cast("string").as(s"${f.name}__max"))
     }
-    val row = df.agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*).collect().head
+    // The multi-distinct agg Expands rows ×(distinct cols + 1) and the
+    // partial aggregate runs on the SCAN's partitioning. A small table in
+    // one parquet file would serialize that work onto one task, so widen
+    // narrow inputs to the cluster's parallelism first; a 100 TB table
+    // already has thousands of splits and skips this shuffle.
+    val par = spark.sparkContext.defaultParallelism
+    val src =
+      if (df.rdd.getNumPartitions < par / 2) df.repartition(par) else df
+    val row = src.agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*).collect().head
     val nRows = row.getAs[Long]("__rows")
     df.schema.fields.map { f =>
       (f.name, f.dataType.simpleString, nRows,

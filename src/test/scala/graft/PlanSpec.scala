@@ -72,4 +72,40 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(graft.ops.Similarity.s1_ann_topk(spark, sfDir))
     assert(plan.contains("Broadcast"), "query set must broadcast, corpus scanned once")
   }
+
+  test("q30: CUBE plans one Expand + partial/final aggregate, not N scans") {
+    val plan = formatted(Relational.q30_cube(spark, sfDir))
+    assert(nodeCount(plan, "Expand") == 1)
+    assert(nodeCount(plan, "Scan parquet") == 1, "grouping sets must reuse one scan")
+    assert(plan.contains("partial_"), "cube aggregate must be map-side partial first")
+  }
+
+  test("q32/q33: array and regexp surfaces are pure narrow maps") {
+    Seq(Relational.q32_arrays(spark, sfDir), Relational.q33_regexp(spark, sfDir))
+      .foreach { df =>
+        val plan = formatted(df)
+        assert(nodeCount(plan, "Exchange") <= 1,
+          "per-row function surface must not shuffle (only the final ORDER BY may)")
+      }
+  }
+
+  test("t9: decontamination broadcasts the eval n-gram set, never the corpus") {
+    val plan = formatted(graft.ops.PipelineOps.t9_decontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "train-grams ⋈ eval-grams must be a broadcast join")
+  }
+
+  test("t10: sequence packing shuffles once on the group key") {
+    val plan = formatted(graft.ops.PipelineOps.t10_pack_sequences(spark, sfDir))
+    // one hashpartitioning(lang) feeds both the window and the groupBy —
+    // the agg reuses the window's partitioning instead of re-shuffling
+    val hashEx = plan.linesIterator.count(_.trim.matches("\\(\\d+\\) Exchange( .*)?")) -
+      (if (plan.contains("rangepartitioning")) 1 else 0)
+    assert(hashEx <= 2, s"expected ≤2 hash exchanges (window+agg share lang key), got:\n$plan")
+  }
+
+  test("d4: inverted-index dedup has no cartesian product and prunes via semi join") {
+    val plan = formatted(graft.ops.Dedup.d4_ngram_jaccard(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
