@@ -52,6 +52,8 @@ object SparkEntry {
     "q33_regexp" -> (Relational.q33_regexp _),
     "q34_window_frames" -> (Relational.q34_window_frames _),
     "q35_salted_join" -> (Relational.q35_salted_join _),
+    "q36_json_struct" -> (Relational.q36_json_struct _),
+    "q37_unpivot" -> (Relational.q37_unpivot _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),

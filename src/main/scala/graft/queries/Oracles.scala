@@ -94,6 +94,24 @@ object Oracles {
         |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS sum_30d
         |FROM t ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q36_json_struct" ->
+      """SELECT event_type,
+        |  COUNT(CAST(props ->> '$.k' AS BIGINT)) AS n_k,
+        |  CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q37_unpivot" ->
+      """SELECT l_returnflag, metric, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),4) AS DOUBLE) AS sum_v,
+        |  MIN(value) AS min_v,
+        |  MAX(value) AS max_v
+        |FROM (SELECT l_returnflag, l_quantity, l_discount, l_tax FROM lineitem)
+        |  UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+        |GROUP BY l_returnflag, metric
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
     "q35_salted_join" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_items,

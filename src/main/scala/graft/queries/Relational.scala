@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 import org.apache.spark.sql.expressions.Window
 
 /** The relational query surface (SURVEY §2B), written DataFrame-first so
@@ -527,6 +527,43 @@ object Relational {
           .cast("double").as("sum_30d"))
       .orderBy("o_custkey", "o_orderkey")
   }
+
+  /** q36_json_struct — schema'd JSON parsing: from_json with an explicit
+    * schema (JsonToStructs: parse once into a typed struct, then typed
+    * field access) vs q19's per-path get_json_object. At scale the
+    * explicit schema is the difference between one parse per row and one
+    * parse per extracted path — and it never triggers schema inference.
+    */
+  def q36_json_struct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("p", from_json(col("props"), StructType(Seq(
+        StructField("k", LongType)))))
+      .groupBy("event_type")
+      .agg(
+        count(col("p.k")).as("n_k"),
+        sum(col("p.k")).as("sum_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** q37_unpivot — melt wide columns to (metric, value) rows: Spark's
+    * native unpivot (one Expand, one scan — the columnar-to-long reshape
+    * that otherwise costs one scan per metric) then a per-metric profile.
+    */
+  def q37_unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select("l_returnflag", "l_quantity", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy("l_returnflag", "metric")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 4).cast("double").as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy("l_returnflag", "metric")
 
   /** q35_salted_join — skew-safe salted join: every fact row gets one of
     * 8 salts, the dim side is replicated across all 8, and the join key

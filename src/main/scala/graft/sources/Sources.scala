@@ -34,6 +34,17 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar format with predicate pushdown + column
+    * pruning; interchange with Hive/Trino warehouses that standardized on
+    * it. Same scan-level optimizations as parquet in Spark's native
+    * vectorized reader.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Hive-style partitioned parquet: directories per key value → partition
     * pruning. Keep partition keys low-cardinality (date, category) or the
     * file count explodes.

@@ -27,6 +27,19 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("orc round-trips and pushes predicates into the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("orc_").toString
+    val orders = Tables(spark, sfDir).orders
+    Sources.writeOrc(orders, s"$tmp/orders_orc")
+    val back = Sources.orc(spark, s"$tmp/orders_orc")
+    assert(back.count() == orders.count())
+    val filtered = back.filter(col("o_totalprice") > 200000).select("o_orderkey")
+    val plan = filtered.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      "orc scan must receive the pushed predicate")
+    assert(filtered.count() == orders.filter(col("o_totalprice") > 200000).count())
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val t = Tables(spark, sfDir)
     Sources.writeBucketed(t.lineitem, "li_bucketed", "l_orderkey", 8)
