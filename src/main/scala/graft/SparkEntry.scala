@@ -74,6 +74,7 @@ object SparkEntry {
     "t9_decontaminate" -> (graft.ops.PipelineOps.t9_decontaminate _),
     "t10_pack_sequences" -> (graft.ops.PipelineOps.t10_pack_sequences _),
     "t11_repetition" -> (graft.ops.PipelineOps.t11_repetition _),
+    "t12_tfidf" -> (graft.ops.PipelineOps.t12_tfidf _),
     "m1_multimodal" -> (Multimodal.m1_multimodal _)
   )
 
@@ -90,6 +91,7 @@ object SparkEntry {
     "t9_decontaminate" -> graft.ops.PipelineOps.t9_oracle,
     "t10_pack_sequences" -> graft.ops.PipelineOps.t10_oracle,
     "t11_repetition" -> graft.ops.PipelineOps.t11_oracle,
+    "t12_tfidf" -> graft.ops.PipelineOps.t12_oracle,
     "q23_asof_join" -> AsofJoin.q23_oracle,
     "q24_session_window" -> graft.ops.TimeOps.q24_oracle,
     "q25_range_join" -> graft.ops.TimeOps.q25_oracle,

@@ -135,6 +135,56 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** t12_tfidf — TF-IDF-style salient terms per document: term frequency
+    * within the doc × inverse document frequency across the corpus, top-3
+    * per doc. The idf factor is kept RATIONAL (N·1e6 / df, floor) instead
+    * of log-scaled so scoring is integer-exact and engine-independent —
+    * the ranking is order-isomorphic to 1/df for fixed tf. Shape: one
+    * explode → (doc, token) counts; document frequencies are a second
+    * small aggregate broadcast back onto the term table; per-doc top-k by
+    * window rank. The df side is |vocab|-sized — the broadcast dimension
+    * — while the corpus-sized term table never reshuffles after its one
+    * groupBy. [oracle]
+    */
+  def t12_tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val terms = docs
+      .select(col("doc_id"), explode(expr(TextOps.TOKENS)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df_ = terms.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    terms
+      .join(broadcast(df_), Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", floor(col("tf") * col("n_docs") * 1000000L / col("df")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  val t12_oracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |tf_t AS (SELECT doc_id, token, COUNT(*) AS tf FROM terms GROUP BY doc_id, token),
+      |df_t AS (SELECT token, COUNT(*) AS df FROM tf_t GROUP BY token),
+      |n_t AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf, df,
+      |    CAST(floor(tf * n_docs * 1000000 / df) AS BIGINT) AS score
+      |  FROM tf_t JOIN df_t USING (token) CROSS JOIN n_t),
+      |ranked AS (
+      |  SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, token, tf, df, score
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val t11_oracle: String =
     """WITH grams AS (
       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),

@@ -52,6 +52,17 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** MERGE-style upsert (incremental refresh): rows in `updates` replace
+    * same-key rows in `base`; new keys append. The anti join is the only
+    * wide stage and it shuffles on the merge key — with base and updates
+    * bucketed on that key it is shuffle-free. This is the refresh
+    * primitive an incremental model materialization uses when only a
+    * key-slice of a 100 TB table changed (vs a5's whole-branch rebuild).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    base.join(updates.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(updates)
+
   /** Bucketed + sorted table: rows are hash-distributed into `buckets`
     * files by `bucketCol` at write time. Joins/aggregations on that key
     * then read co-located data and skip the shuffle — the pre-partitioning

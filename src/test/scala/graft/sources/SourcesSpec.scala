@@ -27,6 +27,15 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("upsert replaces matched keys and appends new ones") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("k", "v")
+    val out = Sources.upsert(base, updates, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "new")))
+  }
+
   test("orc round-trips and pushes predicates into the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("orc_").toString
     val orders = Tables(spark, sfDir).orders
