@@ -54,6 +54,7 @@ object SparkEntry {
     "q35_salted_join" -> (Relational.q35_salted_join _),
     "q36_json_struct" -> (Relational.q36_json_struct _),
     "q37_unpivot" -> (Relational.q37_unpivot _),
+    "q38_dates" -> (Relational.q38_dates _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),
@@ -63,6 +64,7 @@ object SparkEntry {
     "s1_ann_topk" -> (Similarity.s1_ann_topk _),
     "s2_ann_lsh" -> (Similarity.s2_ann_lsh _),
     "s3_ann_ivf" -> (Similarity.s3_ann_ivf _),
+    "s4_knn_label" -> (Similarity.s4_knn_label _),
     "t1_lang_id" -> (TextOps.t1_lang_id _),
     "t2_quality" -> (TextOps.t2_quality _),
     "t3_token_count" -> (TextOps.t3_token_count _),
@@ -87,6 +89,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> Dedup.d4_oracle,
     "d6_dedup_clusters" -> Dedup.d6_oracle,
     "s1_ann_topk" -> Similarity.s1_oracle,
+    "s4_knn_label" -> Similarity.s4_oracle,
     "t1_lang_id" -> TextOps.t1_oracle,
     "t9_decontaminate" -> graft.ops.PipelineOps.t9_oracle,
     "t10_pack_sequences" -> graft.ops.PipelineOps.t10_oracle,

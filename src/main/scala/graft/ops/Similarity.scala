@@ -170,6 +170,61 @@ object Similarity {
     transform(array_sort(array(scoredIds.toIndexedSeq: _*)), s => s.getField("id"))
   }
 
+  /** s4_knn_label — k-NN classification join: each query vector takes the
+    * majority label among its 5 exact nearest neighbors (ties break to the
+    * smallest label, making the vote engine-independent). The supervised
+    * cousin of s1: same broadcast-queries/scan-corpus-once shape plus a
+    * tiny per-query vote aggregate — the standard label-propagation /
+    * weak-supervision primitive over an embedded corpus. [oracle]
+    */
+  def s4_knn_label(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val neighbors = s1_ann_topk(spark, dir)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label").cast("long").as("label")),
+        Seq("neighbor_id"))
+    neighbors
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max_by(col("label"), col("votes") * 1000L - col("label")).as("knn_label"),
+        max(col("votes")).as("top_votes"))
+      .join(emb.select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label")),
+        Seq("query_id"))
+      .select("query_id", "true_label", "knn_label", "top_votes")
+      .orderBy("query_id")
+  }
+
+  val s4_oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, label,
+      |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+      |  FROM v),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    CAST(c.label AS BIGINT) AS label,
+      |    round(list_dot_product(q.unit, c.unit), 6) AS cosine
+      |  FROM u q JOIN u c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, label,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM scored),
+      |votes AS (
+      |  SELECT query_id, label, COUNT(*) AS votes
+      |  FROM ranked WHERE rank <= 5 GROUP BY query_id, label),
+      |win AS (
+      |  SELECT query_id,
+      |    arg_max(label, votes * 1000 - label) AS knn_label,
+      |    CAST(MAX(votes) AS BIGINT) AS top_votes
+      |  FROM votes GROUP BY query_id)
+      |SELECT w.query_id, CAST(e.label AS BIGINT) AS true_label,
+      |       w.knn_label, w.top_votes
+      |FROM win w JOIN embeddings e ON e.vec_id = w.query_id
+      |ORDER BY w.query_id""".stripMargin
+
   /** s2_ann_lsh — LSH-bucketed cosine top-5: queries probe only their
     * hyperplane bucket (single-probe). Trades recall for a ~2^planes
     * candidate reduction; the spec measures overlap vs s1. [rows-only]

@@ -112,6 +112,17 @@ object Oracles {
         |GROUP BY l_returnflag, metric
         |ORDER BY l_returnflag, metric""".stripMargin,
 
+    "q38_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q35_salted_join" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_items,

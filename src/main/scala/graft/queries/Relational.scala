@@ -565,6 +565,23 @@ object Relational {
         max(col("value")).as("max_v"))
       .orderBy("l_returnflag", "metric")
 
+  /** q38_dates — date/interval arithmetic breadth: day and month offsets
+    * (month addition clamps to month end in both engines), month
+    * boundaries, day differences, day-of-week, quarter. All pure narrow
+    * projections over the scan.
+    */
+  def q38_dates(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders.selectExpr(
+      "o_orderkey",
+      "CAST(o_orderdate AS DATE) AS d",
+      "date_add(CAST(o_orderdate AS DATE), 30) AS plus30",
+      "add_months(CAST(o_orderdate AS DATE), 3) AS plus3m",
+      "last_day(CAST(o_orderdate AS DATE)) AS month_end",
+      "CAST(datediff(DATE'1998-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_to_98",
+      "CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow",
+      "CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr"
+    ).orderBy("o_orderkey")
+
   /** q35_salted_join — skew-safe salted join: every fact row gets one of
     * 8 salts, the dim side is replicated across all 8, and the join key
     * becomes (key, salt) — a hot orderkey's rows now land on 8 reducers
