@@ -112,6 +112,15 @@ object Oracles {
         |GROUP BY l_returnflag, metric
         |ORDER BY l_returnflag, metric""".stripMargin,
 
+    "q39_histogram" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT bucket, n,
+        |  CAST(SUM(n) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |FROM h ORDER BY bucket""".stripMargin,
+
     "q38_dates" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS d,

@@ -565,6 +565,22 @@ object Relational {
         max(col("value")).as("max_v"))
       .orderBy("l_returnflag", "metric")
 
+  /** q39_histogram — fixed-width value histogram with cumulative counts:
+    * bucket = floor(value / width) is a narrow map, the histogram is one
+    * tiny groupBy, and the cumulative distribution is a window over the
+    * bucket axis (bucket count ≪ rows, so the window is driver-cheap at
+    * any scale). All-integer output.
+    */
+  def q39_histogram(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("cum_n", sum("n").over(w))
+      .orderBy("bucket")
+  }
+
   /** q38_dates — date/interval arithmetic breadth: day and month offsets
     * (month addition clamps to month end in both engines), month
     * boundaries, day differences, day-of-week, quarter. All pure narrow
