@@ -56,6 +56,7 @@ object SparkEntry {
     "q37_unpivot" -> (Relational.q37_unpivot _),
     "q38_dates" -> (Relational.q38_dates _),
     "q39_histogram" -> (Relational.q39_histogram _),
+    "q40_funnel" -> (Relational.q40_funnel _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),

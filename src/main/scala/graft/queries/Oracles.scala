@@ -112,6 +112,17 @@ object Oracles {
         |GROUP BY l_returnflag, metric
         |ORDER BY l_returnflag, metric""".stripMargin,
 
+    "q40_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS v1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c1 FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p1 FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c1 GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+        |       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+        |       (SELECT COUNT(*) FROM p) AS n_purchased_after_click""".stripMargin,
+
     "q39_histogram" ->
       """WITH h AS (
         |  SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n

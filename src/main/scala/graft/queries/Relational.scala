@@ -565,6 +565,30 @@ object Relational {
         max(col("value")).as("max_v"))
       .orderBy("l_returnflag", "metric")
 
+  /** q40_funnel — event funnel: per user, the first view, the first
+    * click at-or-after that view, the first purchase at-or-after that
+    * click; output is the stage-conversion count row. Each stage is one
+    * groupBy on user_id — the stage joins are all on the same key, so on
+    * a cluster the first shuffle's partitioning carries through (and the
+    * per-stage aggregates shrink the data before every join). The
+    * standard product-analytics sequence query, expressed as joins
+    * instead of per-user event-list collection.
+    */
+  def q40_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+    def stage(tpe: String) = e.filter(col("event_type") === tpe)
+    val v = stage("view").groupBy("user_id").agg(min("ts").as("v1"))
+    val c = stage("click").join(v, Seq("user_id"))
+      .filter(col("ts") >= col("v1"))
+      .groupBy("user_id").agg(min("ts").as("c1"))
+    val p = stage("purchase").join(c, Seq("user_id"))
+      .filter(col("ts") >= col("c1"))
+      .groupBy("user_id").agg(min("ts").as("p1"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+  }
+
   /** q39_histogram — fixed-width value histogram with cumulative counts:
     * bucket = floor(value / width) is a narrow map, the histogram is one
     * tiny groupBy, and the cumulative distribution is a window over the

@@ -108,4 +108,19 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(graft.ops.Dedup.d4_ngram_jaccard(spark, sfDir))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("t12: df table and corpus size broadcast onto the term table") {
+    val plan = formatted(graft.ops.PipelineOps.t12_tfidf(spark, sfDir))
+    assert(nodeCount(plan, "BroadcastHashJoin") >= 1, "df join must broadcast")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "the 1-row corpus count must broadcast, never shuffle the term table")
+  }
+
+  test("q37/q39: unpivot and histogram reuse one scan and stay narrow until the agg") {
+    val unpivot = formatted(Relational.q37_unpivot(spark, sfDir))
+    assert(nodeCount(unpivot, "Expand") == 1 && nodeCount(unpivot, "Scan parquet") == 1)
+    val hist = formatted(Relational.q39_histogram(spark, sfDir))
+    assert(nodeCount(hist, "Scan parquet") == 1)
+    assert(hist.contains("partial_count"), "histogram counts must partial-aggregate map-side")
+  }
 }
