@@ -79,7 +79,8 @@ object SparkEntry {
     "t10_pack_sequences" -> (graft.ops.PipelineOps.t10_pack_sequences _),
     "t11_repetition" -> (graft.ops.PipelineOps.t11_repetition _),
     "t12_tfidf" -> (graft.ops.PipelineOps.t12_tfidf _),
-    "m1_multimodal" -> (Multimodal.m1_multimodal _)
+    "m1_multimodal" -> (Multimodal.m1_multimodal _),
+    "m2_media_stats" -> (Multimodal.m2_media_stats _)
   )
 
   /** DuckDB oracle SQL per oracle-checked query (SURVEY §4 discipline). */
@@ -97,6 +98,7 @@ object SparkEntry {
     "t10_pack_sequences" -> graft.ops.PipelineOps.t10_oracle,
     "t11_repetition" -> graft.ops.PipelineOps.t11_oracle,
     "t12_tfidf" -> graft.ops.PipelineOps.t12_oracle,
+    "m2_media_stats" -> Multimodal.m2_oracle,
     "q23_asof_join" -> AsofJoin.q23_oracle,
     "q24_session_window" -> graft.ops.TimeOps.q24_oracle,
     "q25_range_join" -> graft.ops.TimeOps.q25_oracle,

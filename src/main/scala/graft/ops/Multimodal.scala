@@ -93,7 +93,9 @@ object Multimodal {
   }
 
   /** m1_multimodal — end-to-end: synthesize media, extract features
-    * partition-wise, emit per-asset rows (stable ordering). [rows-only]
+    * partition-wise, emit per-asset rows (stable ordering). [rows-only:
+    * the checksum uses wrap-around long arithmetic and the feature fold
+    * is f32 — neither reproducible in SQL]
     */
   def m1_multimodal(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir))
@@ -102,4 +104,33 @@ object Multimodal {
         "aggregate(feature, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 4))
       .select("doc_id", "modality", "n_bytes", "checksum", "feat_l1")
       .orderBy("doc_id")
+
+  /** m2_media_stats — per-modality corpus statistics over the typed media
+    * schema: asset counts, payload bytes (binary length), pixel and
+    * sample-rate metadata aggregates. The governance/capacity-planning
+    * summary a media lake runs before any decode; all-integer, so unlike
+    * m1 it is hash-checked cross-engine. [oracle]
+    */
+  def m2_media_stats(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .groupBy("modality")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"),
+        sum((col("width") * col("height")).cast("long")).cast("long").as("total_pixels"),
+        max(col("sample_rate")).cast("long").as("max_rate"))
+      .orderBy("modality")
+
+  /** DuckDB mirror of m2: payload bytes = octet_length(text) (the payload
+    * IS the utf-8 encoding of the text), metadata formulas inlined.
+    */
+  val m2_oracle: String =
+    """SELECT modality, COUNT(*) AS n_assets,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(CAST((doc_id % 64) * 16 + 16 AS BIGINT) * ((doc_id % 48) * 16 + 16)) AS BIGINT) AS total_pixels,
+      |  CAST(MAX(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END) AS BIGINT) AS max_rate
+      |FROM (SELECT doc_id, text,
+      |        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality
+      |      FROM documents)
+      |GROUP BY modality ORDER BY modality""".stripMargin
 }
