@@ -292,7 +292,10 @@ object Dedup {
     */
   def d5_embed_dup(spark: SparkSession, dir: String): DataFrame = {
     val unit = Similarity.withUnit(Tables(spark, dir).embeddings)
+    // both self-join branches read the bucketed frame: persist the one
+    // normalize+8-hyperplane pass instead of running it twice
     val bucketed = Similarity.withHyperplaneBucket(unit, planes = 8, seed = 7L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
