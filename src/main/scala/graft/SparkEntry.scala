@@ -14,6 +14,7 @@ object SparkEntry {
   /** One entry per implemented capability from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_model_dag" -> (ModelQueries.a1_model_dag _),
+    "a2_model_types" -> (ModelQueries.a2_model_types _),
     "a3_model_assert" -> (ModelQueries.a3_model_assert _),
     "a5_incremental" -> (ModelQueries.a5_incremental _),
     "q1_agg" -> (Relational.q1_agg _),
@@ -86,6 +87,7 @@ object SparkEntry {
   /** DuckDB oracle SQL per oracle-checked query (SURVEY §4 discipline). */
   def oracleSql: Map[String, String] = Oracles.relational ++ Map(
     "a1_model_dag" -> ModelQueries.a1_oracle,
+    "a2_model_types" -> ModelQueries.a2_oracle,
     "a3_model_assert" -> ModelQueries.a3_oracle,
     "a5_incremental" -> ModelQueries.a5_oracle,
     "d1_dedup_exact" -> Dedup.d1_oracle,

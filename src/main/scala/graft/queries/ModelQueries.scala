@@ -80,6 +80,47 @@ object ModelQueries {
     results.toDF("test", "passed").orderBy(col("test"))
   }
 
+  /** a2_model_types — the `check` surface as a verifiable query: run
+    * Catalyst analysis over a model DAG (no jobs — pure analysis, the
+    * Spark upgrade over the reference's 5-type lattice in types.rs) and
+    * emit the inferred (model, column, type) table. The oracle is the
+    * type contract itself: graft guarantees these exact inferred types
+    * for this DAG, so the expected rows are fixed literals.
+    */
+  def a2_model_types(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW typed_orders AS
+        |  SELECT o_orderkey, o_totalprice, o_orderdate,
+        |         o_totalprice > 200000 AS is_big
+        |  FROM orders;
+        |CREATE VIEW typed_summary AS
+        |  SELECT is_big, COUNT(*) AS n,
+        |         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS rev
+        |  FROM typed_orders GROUP BY is_big
+        |""".stripMargin)
+    val schemas = new ModelEngine(spark).check(models)
+    import spark.implicits._
+    schemas.toSeq.flatMap { case (model, st) =>
+      st.fields.zipWithIndex.map { case (f, i) =>
+        (model, i.toLong, f.name, f.dataType.simpleString)
+      }
+    }.toDF("model", "ordinal", "column", "sql_type")
+      .orderBy("model", "ordinal")
+  }
+
+  val a2_oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('typed_orders', CAST(0 AS BIGINT), 'o_orderkey', 'bigint'),
+      |  ('typed_orders', 1, 'o_totalprice', 'double'),
+      |  ('typed_orders', 2, 'o_orderdate', 'timestamp_ntz'),
+      |  ('typed_orders', 3, 'is_big', 'boolean'),
+      |  ('typed_summary', 0, 'is_big', 'boolean'),
+      |  ('typed_summary', 1, 'n', 'bigint'),
+      |  ('typed_summary', 2, 'rev', 'double')
+      |) t(model, ordinal, "column", sql_type)
+      |ORDER BY model, ordinal""".stripMargin
+
   /** a5_incremental — hash-chained incremental materialization driven
     * end-to-end: run a 2-table DAG, re-run unchanged (everything skips —
     * enforced), then edit the upstream model and re-run (the changed
