@@ -112,6 +112,8 @@ object Oracles {
         |GROUP BY l_returnflag, metric
         |ORDER BY l_returnflag, metric""".stripMargin,
 
+    "q41_sql_text" -> graft.queries.Relational.SQL_TEXT,
+
     "q40_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, MIN(ts) AS v1 FROM e WHERE event_type = 'view' GROUP BY user_id),

@@ -565,6 +565,34 @@ object Relational {
         max(col("value")).as("max_v"))
       .orderBy("l_returnflag", "metric")
 
+  /** q41_sql_text — the SQL-string surface: the exact text a PowerSQL
+    * user writes (CTE + join + window + aggregate) executed verbatim by
+    * spark.sql over the registered sources — same string runs on DuckDB
+    * as the oracle. Demonstrates frontend parity, not just DataFrame
+    * parity: Catalyst's SQL parser IS the engine's second entry point
+    * (the model engine routes every .sql file through it).
+    */
+  def q41_sql_text(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.sql(SQL_TEXT)
+  }
+
+  /** Runs unchanged on Spark AND DuckDB. */
+  val SQL_TEXT: String =
+    """WITH seg_orders AS (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_totalprice > 100000
+      |)
+      |SELECT c_mktsegment,
+      |  COUNT(*) AS n_top,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS top_revenue
+      |FROM seg_orders WHERE rn <= 100
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** q40_funnel — event funnel: per user, the first view, the first
     * click at-or-after that view, the first purchase at-or-after that
     * click; output is the stage-conversion count row. Each stage is one
