@@ -114,6 +114,16 @@ object Oracles {
 
     "q41_sql_text" -> graft.queries.Relational.SQL_TEXT,
 
+    "q42_native_topk" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT c_mktsegment, o_orderkey, o_totalprice
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY c_mktsegment ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+
     "q40_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, MIN(ts) AS v1 FROM e WHERE event_type = 'view' GROUP BY user_id),

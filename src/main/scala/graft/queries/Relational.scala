@@ -565,6 +565,24 @@ object Relational {
         max(col("value")).as("max_v"))
       .orderBy("l_returnflag", "metric")
 
+  /** q42_native_topk — q8's top-3-per-segment computed by the custom
+    * whole-operator extension (graft.plans.TopKPerGroup: logical node →
+    * planner strategy → partial/final bounded-heap SparkPlan) instead of
+    * a window function. Same rows as the window formulation — the oracle
+    * is the row_number query — but the shuffle carries at most
+    * k·map-partitions rows per group instead of every row.
+    */
+  def q42_native_topk(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val joined = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup
+      .topKPerGroup(joined, Seq("c_mktsegment"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .orderBy(col("c_mktsegment").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
   /** q41_sql_text — the SQL-string surface: the exact text a PowerSQL
     * user writes (CTE + join + window + aggregate) executed verbatim by
     * spark.sql over the registered sources — same string runs on DuckDB

@@ -1,0 +1,52 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TopKPerGroupSpec extends SparkSpec {
+
+  test("native top-k matches the window formulation exactly") {
+    val t = graft.Tables(spark, sfDir)
+    val joined = t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val native = TopKPerGroup
+      .topKPerGroup(joined, Seq("c_mktsegment"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = joined
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    assert(native.map(_.toSeq).toSeq == windowed.map(_.toSeq).toSeq)
+    assert(native.length == 15) // 5 segments x 3
+  }
+
+  test("plans partial + final heap passes around ONE exchange, no sort of the data") {
+    val t = graft.Tables(spark, sfDir)
+    val df = TopKPerGroup.topKPerGroup(
+      t.orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"), Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(plan).size >= 2, s"partial+final expected:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), "final pass must demand the hash exchange")
+    assert(!plan.contains("Window"), "must not fall back to a window")
+    assert(!plan.toLowerCase.contains("sort "), s"no full sort of the data:\n$plan")
+  }
+
+  test("handles groups smaller than k and duplicate order values") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 5.0),
+      ("b", 9L, 1.0)
+    ).toDF("g", "id", "v")
+    val out = TopKPerGroup.topKPerGroup(df, Seq("g"), Seq(("v", false), ("id", true)), 2)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    // a: ties on v resolved by id asc -> (1,2); b: whole group smaller than k
+    assert(out.toSeq == Seq(("a", 1L), ("a", 2L), ("b", 9L)))
+  }
+}
