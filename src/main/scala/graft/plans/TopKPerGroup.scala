@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnShim}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Descending, Expression, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator extension showcase (SURVEY §3 strategy (c)): top-k rows
@@ -93,7 +94,56 @@ case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
+/** Optimizer rule (the Rule[LogicalPlan] extension point): rewrites the
+  * window idiom `... row_number() OVER (PARTITION BY g ORDER BY s) AS rn
+  * WHERE rn <= k` into TopKPerGroupNode — but ONLY when the rank column
+  * itself is projected away, so the rewrite is semantics-preserving.
+  * Users keep writing the familiar window formulation; the plan they get
+  * is the bounded-heap operator. (Spark's own InferWindowGroupLimit
+  * reduces rows entering the window since 3.5, but still sorts every
+  * group and runs the window; this rewrite removes the sort+window
+  * entirely.) Opt-in via TopKPerGroup.enableAutoRewrite(spark).
+  */
+object TopKWindowRewrite extends Rule[LogicalPlan] {
+  private def limit(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList,
+        Filter(cond, Window(
+          Seq(alias @ Alias(WindowExpression(RowNumber(), WindowSpecDefinition(part, order, _)), _)),
+          _, _, child, _)))
+        if !projectList.exists(_.references.contains(alias.toAttribute)) =>
+      limit(cond, alias.toAttribute) match {
+        case Some(k) if k >= 1 && order.nonEmpty =>
+          // InferWindowGroupLimit may already have slid a WindowGroupLimit
+          // under the Window; the heap operator subsumes it — unwrap.
+          val base = child match {
+            case WindowGroupLimit(_, _, _, _, grandChild) => grandChild
+            case other => other
+          }
+          Project(projectList, TopKPerGroupNode(part, order, k, base))
+        case _ => p
+      }
+  }
+}
+
 object TopKPerGroup {
+
+  /** Opt-in automatic rewrite: window row_number top-k filters plan into
+    * the native operator from here on (idempotent).
+    */
+  def enableAutoRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(TopKWindowRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKWindowRewrite
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+  }
 
   /** Top-k rows per group. `orderBy` is (column, ascending); ordering
     * should be total (include a unique tiebreak column) for deterministic

@@ -38,6 +38,45 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sort "), s"no full sort of the data:\n$plan")
   }
 
+  test("auto-rewrite: window row_number<=k with rank dropped plans into the native operator") {
+    TopKPerGroup.enableAutoRewrite(spark)
+    val t = graft.Tables(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val df = t.orders
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice") // rank dropped
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"rewrite must fire:\n$plan")
+    assert(!plan.contains("Window"), s"window must be gone:\n$plan")
+    // and the rewrite preserves results exactly — reference keeps rn in
+    // its output so the pattern does NOT fire there (no circularity)
+    val native = df.orderBy("o_orderpriority", "o_orderkey").collect()
+    val windowed = t.orders
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .orderBy("o_orderpriority", "o_orderkey").collect()
+      .map(r => r.toSeq.dropRight(1))
+    assert(native.map(_.toSeq).toSeq == windowed.toSeq)
+  }
+
+  test("auto-rewrite does NOT fire when the rank column is still used") {
+    TopKPerGroup.enableAutoRewrite(spark)
+    val t = graft.Tables(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val df = t.orders
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2) // rn kept in output
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"must keep the window when rn is consumed:\n$plan")
+  }
+
   test("handles groups smaller than k and duplicate order values") {
     import spark.implicits._
     val df = Seq(
