@@ -53,13 +53,19 @@ object Similarity {
     unit.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"), col("bucket").as("qbucket"))
 
+  /** Top-k scored neighbors per query. The k-selection runs through the
+    * native bounded-heap operator (graft.plans.TopKPerGroup) — no sort of
+    * the full scored set, and the shuffle carries ≤ k rows per query per
+    * map partition. The rank column is then a window over the ≤ k·|Q|
+    * surviving rows (trivial at any corpus size).
+    */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("query_id"), Seq(("cosine", false), ("neighbor_id", true)), k)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
 
