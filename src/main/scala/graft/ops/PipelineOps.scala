@@ -156,12 +156,15 @@ object PipelineOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
       .orderBy(col("score").desc, col("token").asc)
-    terms
+    val scored = terms
       .join(broadcast(df_), Seq("token"))
       .crossJoin(broadcast(n))
       .withColumn("score", floor(col("tf") * col("n_docs") * 1000000L / col("df")).cast("long"))
+    // k-selection via the native bounded-heap operator (no sort of the
+    // full term table); the rank window touches only the survivors
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("doc_id"), Seq(("score", false), ("token", true)), 3)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
       .select("doc_id", "rank", "token", "tf", "df", "score")
       .orderBy("doc_id", "rank")
   }
