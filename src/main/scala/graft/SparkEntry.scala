@@ -60,6 +60,7 @@ object SparkEntry {
     "q40_funnel" -> (Relational.q40_funnel _),
     "q41_sql_text" -> (Relational.q41_sql_text _),
     "q42_native_topk" -> (Relational.q42_native_topk _),
+    "q43_retention" -> (Relational.q43_retention _),
     "d1_dedup_exact" -> (Dedup.d1_dedup_exact _),
     "d2_dedup_minhash" -> (Dedup.d2_dedup_minhash _),
     "d3_dedup_simhash" -> (Dedup.d3_dedup_simhash _),

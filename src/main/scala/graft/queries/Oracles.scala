@@ -114,6 +114,18 @@ object Oracles {
 
     "q41_sql_text" -> graft.queries.Relational.SQL_TEXT,
 
+    "q43_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+        |  FROM events),
+        |cohorts AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+        |act AS (SELECT DISTINCT e.user_id, c.cohort_week,
+        |          CAST(date_diff('day', c.cohort_week, e.week) // 7 AS BIGINT) AS week_offset
+        |        FROM e JOIN cohorts c ON e.user_id = c.user_id)
+        |SELECT cohort_week, week_offset, COUNT(*) AS n_active
+        |FROM act GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
     "q42_native_topk" ->
       """WITH ranked AS (
         |  SELECT c_mktsegment, o_orderkey, o_totalprice,

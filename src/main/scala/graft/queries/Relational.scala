@@ -565,6 +565,26 @@ object Relational {
         max(col("value")).as("max_v"))
       .orderBy("l_returnflag", "metric")
 
+  /** q43_retention — cohort retention: users grouped by first-activity
+    * week, counted in each subsequent week they return. Two aggregates on
+    * the same key (user) then one distinct count per (cohort, offset) —
+    * the cohort table is user-sized, the distinct set is bounded by
+    * users × active-weeks. Week truncation is Monday-based in both
+    * engines.
+    */
+  def q43_retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohorts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** q42_native_topk — q8's top-3-per-segment computed by the custom
     * whole-operator extension (graft.plans.TopKPerGroup: logical node →
     * planner strategy → partial/final bounded-heap SparkPlan) instead of
