@@ -126,6 +126,21 @@ object EventStream {
       }
   }
 
+  /** Exactly-once batch sink via foreachBatch: each micro-batch lands in
+    * a directory keyed by its batchId with mode=overwrite, so a replayed
+    * batch (restart after failure between sink write and offset commit)
+    * overwrites its own previous partial output instead of duplicating —
+    * idempotence is what upgrades Structured Streaming's at-least-once
+    * replay into end-to-end exactly-once for non-transactional sinks.
+    */
+  def startIdempotentParquetSink(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+
   /** Convenience: run a streaming query over a stream to a named memory
     * sink and block until all available input is processed (test/dev).
     */

@@ -73,6 +73,25 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("foreachBatch idempotent sink: batches land once, replay overwrites not duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fb_sink_").toString
+    val stream = MemoryStream[UserEvent]
+    val q = EventStream.startIdempotentParquetSink(stream.toDF(), out)
+    stream.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$out/batch_id=*").count()
+    assert(written == rows.length, s"every event exactly once, got $written")
+    // simulate a replay of batch 0: the overwrite keeps it exactly-once
+    spark.createDataset(rows.take(2)).toDF()
+      .write.mode("overwrite").parquet(s"$out/batch_id=0")
+    assert(spark.read.parquet(s"$out/batch_id=*").count() == rows.length)
+  }
+
   test("stream-stream join with watermarks equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
