@@ -114,6 +114,18 @@ object Oracles {
 
     "q41_sql_text" -> graft.queries.Relational.SQL_TEXT,
 
+    "q44_numeric" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(sign(l_quantity - 25) AS BIGINT) AS qty_side,
+        |  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+        |  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  l_quantity * l_quantity AS qty_sq,
+        |  ((l_orderkey % 7) + 7) % 7 AS key_mod7
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q43_retention" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week

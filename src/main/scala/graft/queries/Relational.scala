@@ -565,6 +565,23 @@ object Relational {
         max(col("value")).as("max_v"))
       .orderBy("l_returnflag", "metric")
 
+  /** q44_numeric — numeric-function surface restricted to IEEE-exact
+    * operations (abs/sign/ceil/floor/sqrt — correctly rounded per
+    * IEEE 754 — plus exact multiply and non-negative modulus), so every
+    * output is bit-identical cross-engine without any tolerance.
+    */
+  def q44_numeric(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.selectExpr(
+      "l_orderkey", "l_linenumber",
+      "abs(l_discount - 0.05) AS disc_dev",
+      "CAST(sign(l_quantity - 25) AS BIGINT) AS qty_side",
+      "CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil",
+      "CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor",
+      "sqrt(l_quantity) AS qty_sqrt",
+      "l_quantity * l_quantity AS qty_sq",
+      "pmod(l_orderkey, 7) AS key_mod7"
+    ).orderBy("l_orderkey", "l_linenumber")
+
   /** q43_retention — cohort retention: users grouped by first-activity
     * week, counted in each subsequent week they return. Two aggregates on
     * the same key (user) then one distinct count per (cohort, offset) —
