@@ -203,21 +203,58 @@ object TextOps {
       |ORDER BY n DESC, token ASC
       |LIMIT 20""".stripMargin
 
-  /** t4_fingerprint — rolling-hash document fingerprint: xxhash64 over
-    * 3-token shingles, folded with min (content-defined, order-robust
-    * against small edits). [rows-only: engine-specific hash]
+  /** t4_fingerprint — content-defined document fingerprint: the min and
+    * max sha256 over 3-token shingles (MinHash-style winnowing: the min
+    * over a shingle-hash set is order-robust against small edits and
+    * engine-independent, since sha256 hex is identical everywhere — t7
+    * proved that — and string min is lexicographic in both engines).
+    * Pure narrow map: hash + array_min per row, no shuffle.
+    *
+    * A 64-bit xxhash64 min-fold variant (cheaper at 100 TB: 8-byte
+    * fingerprints instead of 64-hex strings, and engine-native) is
+    * `fingerprintXx64` below — same operator shape, spec-checked
+    * [its hash is engine-specific so it cannot be oracle'd]. [oracle]
     */
+  private val SHINGLES3 =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(0, size(toks) - 3),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |ELSE array(concat_ws(' ', toks)) END""".stripMargin
+
   def t4_fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .withColumn("toks", expr(TOKENS))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  transform(sequence(0, size(toks) - 3),
-          |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-          |ELSE array(concat_ws(' ', toks)) END""".stripMargin))
+      .withColumn("shingles", expr(SHINGLES3))
       .selectExpr(
         "doc_id",
         "CAST(size(shingles) AS BIGINT) AS n_shingles",
+        "array_min(transform(shingles, s -> sha2(s, 256))) AS fp_min",
+        "array_max(transform(shingles, s -> sha2(s, 256))) AS fp_max")
+      .orderBy("doc_id")
+
+  val t4_oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [array_to_string(toks, ' ')] END AS shingles
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM documents))
+      |SELECT doc_id,
+      |  CAST(len(shingles) AS BIGINT) AS n_shingles,
+      |  list_min(list_transform(shingles, s -> sha256(s))) AS fp_min,
+      |  list_max(list_transform(shingles, s -> sha256(s))) AS fp_max
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** 64-bit min/xor-fold fingerprint over the same shingles (the compact
+    * production variant; engine-native hash → spec-checked only).
+    */
+  def fingerprintXx64(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("toks", expr(TOKENS))
+      .withColumn("shingles", expr(SHINGLES3))
+      .selectExpr(
+        "doc_id",
         "aggregate(shingles, CAST(9223372036854775807 AS BIGINT), (acc, s) -> least(acc, xxhash64(s))) AS fingerprint_min",
         "aggregate(shingles, CAST(0 AS BIGINT), (acc, s) -> acc ^ xxhash64(s)) AS fingerprint_xor")
       .orderBy("doc_id")

@@ -46,9 +46,15 @@ class TextOpsSpec extends SparkSpec {
   test("t4_fingerprint is stable and edit-robust via min-fold") {
     val df = TextOps.t4_fingerprint(spark, sfDir).limit(10).collect()
     assert(df.forall(_.getAs[Long]("n_shingles") > 0))
+    assert(df.forall(r => r.getAs[String]("fp_min") <= r.getAs[String]("fp_max")))
     val again = TextOps.t4_fingerprint(spark, sfDir).limit(10).collect()
-    assert(df.map(_.getAs[Long]("fingerprint_min")).sameElements(
-      again.map(_.getAs[Long]("fingerprint_min"))))
+    assert(df.map(_.getAs[String]("fp_min")).sameElements(
+      again.map(_.getAs[String]("fp_min"))))
+    // compact 64-bit production variant: deterministic across runs
+    val xx = TextOps.fingerprintXx64(spark, sfDir).limit(10).collect()
+    val xx2 = TextOps.fingerprintXx64(spark, sfDir).limit(10).collect()
+    assert(xx.map(_.getAs[Long]("fingerprint_min")).sameElements(
+      xx2.map(_.getAs[Long]("fingerprint_min"))))
   }
 }
 
