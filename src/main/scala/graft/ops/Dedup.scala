@@ -304,4 +304,23 @@ object Dedup {
         round(Similarity.dot(col("l.unit"), col("r.unit")), 6).as("cosine"))
     cands.orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc).limit(100)
   }
+
+  /** DuckDB mirror of d5: identical integer hyperplanes → identical
+    * buckets → identical bucket-local pair set and exact cosines.
+    */
+  lazy val d5_oracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+       |  FROM v),
+       |b AS (
+       |  SELECT vec_id, unit, ${Similarity.bucketSql(8, 7L, "unit")} AS bucket FROM u)
+       |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       |  round(list_dot_product(l.unit, r.unit), 6) AS cosine
+       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |ORDER BY cosine DESC, id_a ASC, id_b ASC
+       |LIMIT 100""".stripMargin
 }

@@ -36,18 +36,39 @@ object Similarity {
       .withColumn("unit", expr("transform(vecd, x -> x / norm)"))
       .drop("vecd", "norm")
 
-  /** Adds `bucket`: sign-bit code over `planes` deterministic random
-    * hyperplanes (seeded; identical across executors and runs).
+  /** Deterministic INTEGER-valued hyperplanes: coefficient (p,d) is a
+    * fixed multiplicative-hash formula of its index, so the exact same
+    * plane values are constructible in any engine (the DuckDB oracles
+    * embed them as literals). Random-hyperplane LSH only needs the plane
+    * directions to be "spread out" — integer pseudo-random coefficients
+    * partition the sphere just like Gaussians do.
+    */
+  def integerPlanes(planes: Int, dim: Int, seed: Long): Array[Array[Long]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      val i = p.toLong * dim + d + 1
+      (i * (2654435761L + 2 * seed)) % 1000003L - 501001L
+    }
+
+  /** Adds `bucket`: sign-bit code over `planes` deterministic integer
+    * hyperplanes (identical across executors, runs, and engines).
     */
   def withHyperplaneBucket(unitDf: DataFrame, planes: Int, seed: Long): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val dim = 64
+    val ws = integerPlanes(planes, 64, seed)
     val planeCols = (0 until planes).map { p =>
-      val w = array(Seq.fill(dim)(lit(rng.nextGaussian())): _*)
+      val w = array(ws(p).map(v => lit(v.toDouble)).toIndexedSeq: _*)
       when(dot(col("unit"), w) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     unitDf.withColumn("bucket", planeCols.reduce(_ + _))
   }
+
+  /** SQL fragment computing the same bucket for a `unit` double-list
+    * column (DuckDB syntax; used by the d5/s2 oracles).
+    */
+  def bucketSql(planes: Int, seed: Long, unitCol: String): String =
+    integerPlanes(planes, 64, seed).zipWithIndex.map { case (w, p) =>
+      val lits = w.map(v => s"${v.toDouble}").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($unitCol, $lits) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   private def queries(unit: DataFrame, nQueries: Int): DataFrame =
     unit.filter(col("vec_id") < nQueries)
@@ -231,9 +252,38 @@ object Similarity {
       |FROM win w JOIN embeddings e ON e.vec_id = w.query_id
       |ORDER BY w.query_id""".stripMargin
 
+  /** DuckDB mirror of s2: identical integer hyperplanes → identical
+    * buckets → identical candidate sets; then s1's exact ranking.
+    */
+  lazy val s2_oracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+       |  FROM v),
+       |b AS (
+       |  SELECT vec_id, unit, ${bucketSql(6, 7L, "unit")} AS bucket FROM u),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.unit, c.unit), 6) AS cosine
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   /** s2_ann_lsh — LSH-bucketed cosine top-5: queries probe only their
     * hyperplane bucket (single-probe). Trades recall for a ~2^planes
-    * candidate reduction; the spec measures overlap vs s1. [rows-only]
+    * candidate reduction; the spec measures overlap vs s1. Buckets come
+    * from engine-independent integer hyperplanes, so the whole path is
+    * oracle-checked. [oracle]
     */
   def s2_ann_lsh(spark: SparkSession, dir: String): DataFrame = {
     val unit = withHyperplaneBucket(withUnit(Tables(spark, dir).embeddings), planes = 6, seed = 7L)
