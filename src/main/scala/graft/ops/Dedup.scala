@@ -98,30 +98,163 @@ object Dedup {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, text
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
+  /** MinHash affine constants for slot k — small enough that
+    * a·h < 2^53, so the arithmetic is exact in any engine.
+    */
+  private[ops] def minhashA(k: Int): Long = 2L * (((k + 1) * 2654435761L) % 1000003L) + 1
+  private[ops] def minhashB(k: Int): Long = ((k + 1) * 40503L) % 1000003L
+  private val MINHASH_P = 4294967311L // smallest prime > 2^32
+  private val K = 64
+  private val BANDS = 16
+  private val ROWS_PER_BAND = 4
+
   /** d2_dedup_minhash — MinHash(64) + LSH(16 bands × 4 rows) near-dup
-    * pairs, verified with exact shingle Jaccard ≥ 0.7. [rows-only]
+    * pairs, verified with exact shingle Jaccard ≥ 0.7.
+    *
+    * The base hash is the first 32 bits of sha256 (identical in every
+    * engine) and the 64 affine slot-hashes are exact integer arithmetic,
+    * so signatures — and therefore band buckets, candidates, and the
+    * final pair set — are reproduced bit-for-bit by the DuckDB oracle.
+    * Shape: explode shingles (narrow) → 64 codegen'd min-aggregates per
+    * doc (one shuffle, partial map-side) → band keys → bucket join with
+    * the df guard → exact-Jaccard verify.
+    *
+    * The production variant swaps the base hash for the native
+    * xxhash64-based MinHashSignature expression
+    * (graft.functions.HashExpressions.minhashSig: one generated-Java
+    * pass, 8-byte hashes, no sha cost) — same operator shape, checked by
+    * HashExpressionsSpec/GraftFunctionsSpec. [oracle]
     */
   def d2_dedup_minhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", expr("CAST(conv(substring(sha2(s, 256), 1, 8), 16, 10) AS BIGINT)"))
+    val minCols = (0 until K).map { k =>
+      min(expr(s"(${minhashA(k)} * h + ${minhashB(k)}) % $MINHASH_P")).as(s"m$k")
+    }
+    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = array((0 until BANDS).map { b =>
+      val key = concat_ws(",",
+        (0 until ROWS_PER_BAND).map(r => col(s"m${b * ROWS_PER_BAND + r}")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }: _*)
+    val exploded = sig
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = exploded.groupBy("band", "bkey").count()
+      .filter(col("count").between(2, 100)).select("band", "bkey")
+    val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
+    val cands = members.as("l")
+      .join(members.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+  }
+
+  /** DuckDB mirror of d2 — same sha-based signatures, bands, df guard,
+    * and Jaccard arithmetic (SQL generated from the same constants).
+    */
+  lazy val d2_oracle: String = {
+    val minExprs = (0 until K)
+      .map(k => s"MIN((${minhashA(k)} * h + ${minhashB(k)}) % $MINHASH_P) AS m$k")
+      .mkString(",\n      ")
+    val bandRows = (0 until BANDS).map { b =>
+      val key = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS bkey FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    ELSE [array_to_string(toks, ' ')] END) AS shingles
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |sig AS (
+       |  SELECT doc_id,
+       |      $minExprs
+       |  FROM hashed GROUP BY doc_id),
+       |exploded AS (
+       |      $bandRows),
+       |buckets AS (
+       |  SELECT band, bkey FROM exploded GROUP BY band, bkey
+       |  HAVING COUNT(*) BETWEEN 2 AND 100),
+       |members AS (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
+       |cand AS (
+       |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM members l JOIN members r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |          / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+       |ORDER BY jaccard DESC, id_a ASC, id_b ASC""".stripMargin
+  }
+
+  /** Production-hash variant of the d2 pipeline: native xxhash64-based
+    * MinHashSignature (codegen; 8-byte base hashes, no sha cost) + the
+    * same LSH banding and verify. Engine-native hash → spec-checked.
+    */
+  def minhashLshPairsNative(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables(spark, dir).documents)
     val sig = withMinhash(sh)
-    val cands = lshCandidates(sig, bands = 16, rowsPerBand = 4, maxBucket = 100)
+    val cands = lshCandidates(sig, bands = BANDS, rowsPerBand = ROWS_PER_BAND, maxBucket = 100)
     withJaccard(cands, sh)
       .filter(col("jaccard") >= 0.7)
       .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
   }
 
-  /** d3_dedup_simhash — 64-bit SimHash over 2-word shingles; candidates
-    * bucketed by 4 × 16-bit bands (any pair within hamming ≤ 16 shares a
-    * band by pigeonhole at ≤3 differing bits per band), confirmed with
-    * bit_count(xor) ≤ 12. [rows-only]
+  private val SIM_BITS = 60 // 15 sha256 hex chars → fits BIGINT in any engine
+  private val SIM_BANDS = 4
+  private val SIM_BAND_BITS = 15
+
+  /** d3_dedup_simhash — SimHash over 2-word shingles: per-bit majority
+    * vote across shingle hashes, candidates bucketed by 4 × 15-bit bands,
+    * confirmed with bit_count(xor) ≤ 12.
+    *
+    * Like d2, the base hash is sha256-derived (60 bits so the value fits
+    * a signed 64-bit integer in every engine) and the votes are integer
+    * sums, so the fingerprints — and the whole band/candidate/hamming
+    * pipeline — are engine-independent and oracle-checked. Shape:
+    * explode (narrow) → 60 codegen'd conditional sums per doc (one
+    * shuffle) → band bucketing with the size guard → hamming verify.
+    * The production variant is the native xxhash64 SimHash64 expression
+    * (graft.functions.HashExpressions.simhash64), spec-checked. [oracle]
     */
   def d3_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables(spark, dir).documents)
-      .withColumn("simhash", graft.functions.HashExpressions.simhash64(col("shingles")))
-    val bandStructs = array((0 until 4).map { b =>
-      struct(lit(b).as("band"), expr(s"(shiftright(simhash, ${16 * b}) & 65535)").as("bkey"))
+    val docs = withShingles(Tables(spark, dir).documents)
+    val hashed = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", expr("CAST(conv(substring(sha2(s, 256), 1, 15), 16, 10) AS BIGINT)"))
+    val votes = (0 until SIM_BITS).map { b =>
+      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v$b")
+    }
+    val sim = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .withColumn("simhash", (0 until SIM_BITS).map { b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _))
+      .select("doc_id", "simhash")
+    val bandStructs = array((0 until SIM_BANDS).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(shiftright(simhash, ${SIM_BAND_BITS * b}) & ${(1 << SIM_BAND_BITS) - 1})").as("bkey"))
     }: _*)
-    val exploded = sh.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bk"))
+    val exploded = sim.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // reused by 4 branches
     val buckets = exploded.groupBy("band", "bkey").count()
@@ -137,6 +270,49 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 12)
       .orderBy(col("hamming").asc, col("id_a").asc, col("id_b").asc)
+  }
+
+  /** DuckDB mirror of d3 — same sha-60-bit hashes, votes, bands, guard,
+    * hamming threshold (SQL generated from the same constants).
+    */
+  lazy val d3_oracle: String = {
+    val voteExprs = (0 until SIM_BITS)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n      ")
+    val simExpr = (0 until SIM_BITS)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val bandRows = (0 until SIM_BANDS).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${SIM_BAND_BITS * b}) & ${(1 << SIM_BAND_BITS) - 1} AS bkey FROM sim"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    ELSE [array_to_string(toks, ' ')] END) AS shingles
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |votes AS (
+       |  SELECT doc_id,
+       |      $voteExprs
+       |  FROM hashed GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM votes),
+       |exploded AS (
+       |      $bandRows),
+       |buckets AS (
+       |  SELECT band, bkey FROM exploded GROUP BY band, bkey
+       |  HAVING COUNT(*) BETWEEN 2 AND 200),
+       |members AS (SELECT e.doc_id, e.simhash, e.band, e.bkey
+       |            FROM exploded e JOIN buckets USING (band, bkey)),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |    CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+       |  FROM members l JOIN members r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12
+       |ORDER BY hamming ASC, id_a ASC, id_b ASC""".stripMargin
   }
 
   /** d4_ngram_jaccard — EXACT n-gram Jaccard dedup via an inverted
