@@ -131,13 +131,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("h", expr("CAST(conv(substring(sha2(s, 256), 1, 8), 16, 10) AS BIGINT)"))
-    val minCols = (0 until K).map { k =>
-      min(expr(s"(${minhashA(k)} * h + ${minhashB(k)}) % $MINHASH_P")).as(s"m$k")
-    }
-    val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    // single-pass mergeable 64-slot buffer (graft.functions): 64 separate
+    // min() expressions would exceed the codegen field budget and drop
+    // the whole aggregate to interpreted mode
+    val slots = udaf(new graft.functions.SketchAggregators.MinHashSlots(
+      (0 until K).map(minhashA).toArray, (0 until K).map(minhashB).toArray))
+    val sig = hashed.groupBy("doc_id").agg(slots(col("h")).as("sig"))
     val bandStructs = array((0 until BANDS).map { b =>
       val key = concat_ws(",",
-        (0 until ROWS_PER_BAND).map(r => col(s"m${b * ROWS_PER_BAND + r}")): _*)
+        (0 until ROWS_PER_BAND).map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1)): _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }: _*)
     val exploded = sig
@@ -242,13 +244,14 @@ object Dedup {
     val docs = withShingles(Tables(spark, dir).documents)
     val hashed = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
       .withColumn("h", expr("CAST(conv(substring(sha2(s, 256), 1, 15), 16, 10) AS BIGINT)"))
-    val votes = (0 until SIM_BITS).map { b =>
-      sum(expr(s"CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END")).as(s"v$b")
-    }
-    val sim = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .withColumn("simhash", (0 until SIM_BITS).map { b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _))
+    // single-pass mergeable 60-wide vote buffer (graft.functions); the
+    // bit-threshold fold over the small votes array is per-row codegen
+    val votesAgg = udaf(new graft.functions.SketchAggregators.SimHashVotes(SIM_BITS))
+    val sim = hashed.groupBy("doc_id").agg(votesAgg(col("h")).as("votes"))
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${SIM_BITS - 1}), CAST(0 AS BIGINT),
+           |  (acc, b) -> acc + CASE WHEN element_at(votes, b + 1) > 0
+           |                         THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END)""".stripMargin))
       .select("doc_id", "simhash")
     val bandStructs = array((0 until SIM_BANDS).map { b =>
       struct(lit(b).as("band"),
