@@ -32,6 +32,60 @@ object HashExpressions {
   /** dot product of two equal-length array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** first `nHex` hex digits of sha256(s) as an unsigned long — equals
+    * `CAST(conv(substring(sha2(s,256),1,nHex),16,10) AS BIGINT)` without
+    * materializing the 64-char hex string per row.
+    */
+  def sha256PrefixLong(s: Column, nHex: Int): Column =
+    ExpressionUtils.column(Sha256PrefixLong(ExpressionUtils.expression(s), nHex))
+}
+
+/** Digest helper behind [[Sha256PrefixLong]] (thread-local digest:
+  * MessageDigest is not thread-safe and codegen shares the classloader).
+  */
+object GraftSha {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+  def prefixLong(s: UTF8String, nHex: Int): Long = {
+    val md = tl.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    val full = nHex / 2
+    while (i < full) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    if ((nHex & 1) == 1) v = (v << 4) | ((d(full) & 0xf0L) >> 4)
+    v
+  }
+}
+
+/** sha256 prefix as unsigned long (≤ 15 hex digits so it fits a signed
+  * 64-bit value in every engine): the engine-independent base hash of
+  * the oracle-checked dedup pipelines (d2/d3). Cross-engine equivalent:
+  * DuckDB `('0x' || substr(sha256(s), 1, n))::BIGINT`.
+  */
+case class Sha256PrefixLong(child: Expression, nHex: Int) extends UnaryExpression {
+  require(nHex >= 1 && nHex <= 15, "nHex must be in [1, 15] to fit a signed long")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sha256_prefix requires string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftSha.prefixLong(input.asInstanceOf[UTF8String], nHex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftSha.prefixLong($c, $nHex)")
+
+  override protected def withNewChildInternal(newChild: Expression): Sha256PrefixLong =
+    copy(child = newChild)
 }
 
 /** MinHash signature: per element one xxhash64 folded to 32 bits, then k

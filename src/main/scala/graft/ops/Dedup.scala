@@ -130,7 +130,7 @@ object Dedup {
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", expr("CAST(conv(substring(sha2(s, 256), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("h", graft.functions.HashExpressions.sha256PrefixLong(col("s"), 8))
     // single-pass mergeable 64-slot buffer (graft.functions): 64 separate
     // min() expressions would exceed the codegen field budget and drop
     // the whole aggregate to interpreted mode
@@ -243,7 +243,7 @@ object Dedup {
   def d3_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingles(Tables(spark, dir).documents)
     val hashed = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", expr("CAST(conv(substring(sha2(s, 256), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("h", graft.functions.HashExpressions.sha256PrefixLong(col("s"), 15))
     // single-pass mergeable 60-wide vote buffer (graft.functions); the
     // bit-threshold fold over the small votes array is per-row codegen
     val votesAgg = udaf(new graft.functions.SketchAggregators.SimHashVotes(SIM_BITS))
