@@ -135,6 +135,43 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** t13_corpus_report — the corpus health report card: one row
+    * summarizing what the pipeline found — corpus size, exact-duplicate
+    * texts, verified near-duplicate pairs (d4's exact contract),
+    * benchmark-contaminated training docs (t9's contract), and total
+    * whitespace tokens. Every component is itself an oracle-checked
+    * operator, and the report's oracle is literally composed from their
+    * oracle SQL — the composition proof that the operators agree as a
+    * system, not just individually. All counts are tiny single-row
+    * aggregates crossed together (no data movement beyond the component
+    * jobs). [oracle]
+    */
+  def t13_corpus_report(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dupTexts = docs.groupBy("text").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_dup_texts"))
+    val nearDups = Dedup.d4_ngram_jaccard(spark, dir)
+      .agg(count(lit(1)).as("n_near_dup_pairs"))
+    val contaminated = t9_decontaminate(spark, dir)
+      .filter(col("contaminated"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    val tokens = docs
+      .agg(sum(expr(s"size(${TextOps.TOKENS})")).cast("long").as("total_ws_tokens"))
+    nDocs.crossJoin(dupTexts).crossJoin(nearDups)
+      .crossJoin(contaminated).crossJoin(tokens)
+  }
+
+  lazy val t13_oracle: String =
+    s"""SELECT
+       |  (SELECT COUNT(*) FROM documents) AS n_docs,
+       |  (SELECT COUNT(*) FROM (SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1)) AS n_dup_texts,
+       |  (SELECT COUNT(*) FROM (${Dedup.d4_oracle})) AS n_near_dup_pairs,
+       |  (SELECT COUNT(*) FROM ($t9_oracle) WHERE contaminated) AS n_contaminated,
+       |  (SELECT CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+       |   FROM documents) AS total_ws_tokens""".stripMargin
+
   /** t12_tfidf — TF-IDF-style salient terms per document: term frequency
     * within the doc × inverse document frequency across the corpus, top-3
     * per doc. The idf factor is kept RATIONAL (N·1e6 / df, floor) instead
