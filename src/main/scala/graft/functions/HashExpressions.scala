@@ -39,6 +39,28 @@ object HashExpressions {
     */
   def sha256PrefixLong(s: Column, nHex: Int): Column =
     ExpressionUtils.column(Sha256PrefixLong(ExpressionUtils.expression(s), nHex))
+
+  /** array<string> shingles → oracle-exact MinHash signature (sha base
+    * hash + OracleHashConstants arithmetic) in one narrow codegen pass.
+    */
+  def shaMinHash(shingles: Column, numHashes: Int): Column =
+    ExpressionUtils.column(ShaMinHash(ExpressionUtils.expression(shingles), numHashes))
+
+  /** array<string> shingles → oracle-exact SimHash (sha base hash,
+    * per-bit majority vote) in one narrow codegen pass.
+    */
+  def shaSimHash(shingles: Column, bits: Int): Column =
+    ExpressionUtils.column(ShaSimHash(ExpressionUtils.expression(shingles), bits))
+}
+
+/** The engine-independent signature arithmetic shared by the Spark
+  * expressions AND the generated DuckDB oracle SQL (graft.ops.Dedup):
+  * one definition, two engines, bit-identical results.
+  */
+object OracleHashConstants {
+  val Prime = 4294967311L // smallest prime > 2^32
+  def minhashA(k: Int): Long = 2L * (((k + 1) * 2654435761L) % 1000003L) + 1
+  def minhashB(k: Int): Long = ((k + 1) * 40503L) % 1000003L
 }
 
 /** Digest helper behind [[Sha256PrefixLong]] (thread-local digest:
@@ -85,6 +107,135 @@ case class Sha256PrefixLong(child: Expression, nHex: Int) extends UnaryExpressio
     defineCodeGen(ctx, ev, c => s"graft.functions.GraftSha.prefixLong($c, $nHex)")
 
   override protected def withNewChildInternal(newChild: Expression): Sha256PrefixLong =
+    copy(child = newChild)
+}
+
+/** Oracle-exact MinHash: per shingle the 32-bit sha256 prefix, then k
+  * affine slot-hashes mod OracleHashConstants.Prime, running minima —
+  * the same arithmetic the DuckDB oracle executes, in one generated
+  * loop per row (narrow: no explode, no shuffle, no aggregation).
+  */
+case class ShaMinHash(child: Expression, numHashes: Int) extends UnaryExpression {
+  @transient private lazy val permA: Array[Long] =
+    Array.tabulate(numHashes)(OracleHashConstants.minhashA)
+  @transient private lazy val permB: Array[Long] =
+    Array.tabulate(numHashes)(OracleHashConstants.minhashB)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sha_minhash requires array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = GraftSha.prefixLong(arr.getUTF8String(i), 8)
+        var j = 0
+        while (j < numHashes) {
+          val v = (permA(j) * h + permB(j)) % OracleHashConstants.Prime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("shaMinhashA", permA, "long[]")
+    val bRef = ctx.addReferenceObj("shaMinhashB", permB, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = graft.functions.GraftSha.prefixLong($c.getUTF8String($i), 8);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = ($aRef[$j] * $h + $bRef[$j]) % ${OracleHashConstants.Prime}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShaMinHash =
+    copy(child = newChild)
+}
+
+/** Oracle-exact SimHash: per shingle the 60-bit sha256 prefix, signed
+  * per-bit votes, sign of each vote becomes the output bit. Narrow
+  * generated loop; bit-identical to the DuckDB oracle.
+  */
+case class ShaSimHash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 60, "bits must be in [1, 60]")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sha_simhash requires array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = GraftSha.prefixLong(arr.getUTF8String(i), 15)
+        var b = 0
+        while (b < bits) { votes(b) += ((h >> b) & 1L) * 2L - 1L; b += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      s"""
+         |long[] $votes = new long[$bits];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = graft.functions.GraftSha.prefixLong($c.getUTF8String($i), 15);
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      $votes[$b] += (($h >> $b) & 1L) * 2L - 1L;
+         |    }
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShaSimHash =
     copy(child = newChild)
 }
 

@@ -98,12 +98,12 @@ object Dedup {
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count, text
       |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
 
-  /** MinHash affine constants for slot k — small enough that
-    * a·h < 2^53, so the arithmetic is exact in any engine.
+  /** MinHash affine constants for slot k (shared with the Spark-side
+    * native expression — single source of truth, two engines).
     */
-  private[ops] def minhashA(k: Int): Long = 2L * (((k + 1) * 2654435761L) % 1000003L) + 1
-  private[ops] def minhashB(k: Int): Long = ((k + 1) * 40503L) % 1000003L
-  private val MINHASH_P = 4294967311L // smallest prime > 2^32
+  private def minhashA(k: Int): Long = graft.functions.OracleHashConstants.minhashA(k)
+  private def minhashB(k: Int): Long = graft.functions.OracleHashConstants.minhashB(k)
+  private val MINHASH_P = graft.functions.OracleHashConstants.Prime
   private val K = 64
   private val BANDS = 16
   private val ROWS_PER_BAND = 4
@@ -129,14 +129,11 @@ object Dedup {
     val sh = withShingles(Tables(spark, dir).documents)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashed = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", graft.functions.HashExpressions.sha256PrefixLong(col("s"), 8))
-    // single-pass mergeable 64-slot buffer (graft.functions): 64 separate
-    // min() expressions would exceed the codegen field budget and drop
-    // the whole aggregate to interpreted mode
-    val slots = udaf(new graft.functions.SketchAggregators.MinHashSlots(
-      (0 until K).map(minhashA).toArray, (0 until K).map(minhashB).toArray))
-    val sig = hashed.groupBy("doc_id").agg(slots(col("h")).as("sig"))
+    // one narrow codegen pass per doc: sha prefix + 64 slot minima
+    // (graft.functions.ShaMinHash) — no explode, no signature shuffle
+    val sig = sh.withColumn("sig",
+      graft.functions.HashExpressions.shaMinHash(col("shingles"), K))
+      .select("doc_id", "sig")
     val bandStructs = array((0 until BANDS).map { b =>
       val key = concat_ws(",",
         (0 until ROWS_PER_BAND).map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1)): _*)
@@ -242,16 +239,10 @@ object Dedup {
     */
   def d3_dedup_simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = withShingles(Tables(spark, dir).documents)
-    val hashed = docs.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .withColumn("h", graft.functions.HashExpressions.sha256PrefixLong(col("s"), 15))
-    // single-pass mergeable 60-wide vote buffer (graft.functions); the
-    // bit-threshold fold over the small votes array is per-row codegen
-    val votesAgg = udaf(new graft.functions.SketchAggregators.SimHashVotes(SIM_BITS))
-    val sim = hashed.groupBy("doc_id").agg(votesAgg(col("h")).as("votes"))
-      .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, ${SIM_BITS - 1}), CAST(0 AS BIGINT),
-           |  (acc, b) -> acc + CASE WHEN element_at(votes, b + 1) > 0
-           |                         THEN shiftleft(CAST(1 AS BIGINT), b) ELSE 0 END)""".stripMargin))
+    // one narrow codegen pass per doc: sha prefix + 60 bit votes
+    // (graft.functions.ShaSimHash) — no explode, no vote shuffle
+    val sim = docs.withColumn("simhash",
+      graft.functions.HashExpressions.shaSimHash(col("shingles"), SIM_BITS))
       .select("doc_id", "simhash")
     val bandStructs = array((0 until SIM_BANDS).map { b =>
       struct(lit(b).as("band"),
