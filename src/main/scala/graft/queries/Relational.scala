@@ -589,18 +589,19 @@ object Relational {
     * users × active-weeks. Week truncation is Monday-based in both
     * engines.
     */
-  def q43_retention(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).events
+  def q43_retention(spark: SparkSession, dir: String): DataFrame =
+    // one scan: the cohort week is a per-user window minimum instead of a
+    // separate aggregate joined back (which would scan events twice)
+    Tables(spark, dir).events
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-    val cohorts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
-    e.join(cohorts, Seq("user_id"))
+      .withColumn("cohort_week",
+        min("week").over(Window.partitionBy("user_id")))
       .select(col("user_id"), col("cohort_week"),
         (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
       .distinct()
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort_week", "week_offset")
-  }
 
   /** q42_native_topk — q8's top-3-per-segment computed by the custom
     * whole-operator extension (graft.plans.TopKPerGroup: logical node →
@@ -658,18 +659,25 @@ object Relational {
     * instead of per-user event-list collection.
     */
   def q40_funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).events
-    def stage(tpe: String) = e.filter(col("event_type") === tpe)
-    val v = stage("view").groupBy("user_id").agg(min("ts").as("v1"))
-    val c = stage("click").join(v, Seq("user_id"))
-      .filter(col("ts") >= col("v1"))
-      .groupBy("user_id").agg(min("ts").as("c1"))
-    val p = stage("purchase").join(c, Seq("user_id"))
-      .filter(col("ts") >= col("c1"))
-      .groupBy("user_id").agg(min("ts").as("p1"))
-    v.agg(count(lit(1)).as("n_viewed"))
-      .crossJoin(c.agg(count(lit(1)).as("n_clicked_after_view")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchased_after_click")))
+    // ONE scan, ONE user-keyed shuffle: the three stage timestamps are
+    // per-user window minima computed back-to-back over the same
+    // partitioning (each later stage conditions on the previous stage's
+    // column), then a per-user collapse and a single global count row.
+    // The join-chain formulation reads the events table once per stage —
+    // at 100 TB that is 3 scans and 3 shuffles for the same answer.
+    val w = Window.partitionBy("user_id")
+    Tables(spark, dir).events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c1", min(when(col("event_type") === "click" && col("ts") >= col("v1"), col("ts"))).over(w))
+      .withColumn("p1", min(when(col("event_type") === "purchase" && col("ts") >= col("c1"), col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("v1").as("v1"), min("c1").as("c1"), min("p1").as("p1"))
+      .agg(
+        count(col("v1")).as("n_viewed"),
+        count(col("c1")).as("n_clicked_after_view"),
+        count(col("p1")).as("n_purchased_after_click"))
   }
 
   /** q39_histogram — fixed-width value histogram with cumulative counts:
