@@ -37,10 +37,23 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact, locale-stable 3-decimal seconds: the driver captures a
+    // bounded tail of stdout, so the one JSON line must stay small enough
+    // (~2 KB for 75 entries) to survive whole — full precision adds no
+    // information beyond run-to-run noise anyway.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stop Spark BEFORE printing so no shutdown logging lands after the
+    // JSON line and pushes its head out of the driver's tail window
     spark.stop()
+    val out = new java.io.File("target/bench_local.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out)
+    try w.println(line) finally w.close()
+    println(line)
   }
 }

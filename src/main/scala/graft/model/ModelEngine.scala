@@ -98,12 +98,20 @@ final class ModelEngine(spark: SparkSession) {
 
   /** `run`: execute the DAG. Views become temp views (lazy, fused into
     * downstream plans by Catalyst); tables/materialized views are written
-    * as parquet under `warehouse` and re-registered, cutting the lineage
-    * — the materialization boundary a 100 TB pipeline needs for reuse.
+    * through `sink` and re-registered, cutting the lineage — the
+    * materialization boundary a 100 TB pipeline needs for reuse.
     * Models inside one level run concurrently (Spark schedules their jobs
     * across the cluster simultaneously).
     */
-  def run(models: Seq[ModelStatement], warehouse: String): Unit = {
+  def run(models: Seq[ModelStatement], warehouse: String): Unit =
+    run(models, TableSink.parquet(warehouse))
+
+  /** `run` with a pluggable materialization target — parquet warehouse by
+    * default, or a JDBC warehouse (PostgreSQL-parity with the reference's
+    * `execute.rs:52-76`, which lands every table model in the user's warehouse
+    * database) via `TableSink.jdbc`.
+    */
+  def run(models: Seq[ModelStatement], sink: TableSink): Unit = {
     val byName = models.map(m => m.name -> m).toMap
     val levels = topoLevels(dependencies(models))
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -114,9 +122,7 @@ final class ModelEngine(spark: SparkSession) {
             case ViewModel(n, q) =>
               spark.sql(q).createOrReplaceTempView(n)
             case TableModel(n, q) =>
-              val path = s"$warehouse/$n"
-              spark.sql(q).write.mode("overwrite").parquet(path)
-              spark.read.parquet(path).createOrReplaceTempView(n)
+              sink.materialize(spark, n, spark.sql(q)).createOrReplaceTempView(n)
           }
         }
       }
@@ -235,24 +241,49 @@ final class ModelEngine(spark: SparkSession) {
     out.result()
   }
 
-  /** `docs`: model-graph markdown with a mermaid DAG (reference:
-    * src/main.rs:416-429 writes docs/docs.md).
+  /** The documentation surface as data — one row per fact about the model
+    * graph (reference: src/main.rs:416-429 renders the same facts straight
+    * to markdown). Three kinds per model, `ord` keeping declared order:
+    *   - ("model",  0, name,        view|table)   the model itself
+    *   - ("dep",    i, parent,      "")           one row per DAG edge
+    *   - ("column", i, column name, sql type)     the `check`-inferred schema
+    * `docs` renders the markdown/mermaid view FROM these rows, so the
+    * oracle-checked data is exactly what the renderer shows.
     */
-  def docs(models: Seq[ModelStatement]): String = {
+  def docsData(models: Seq[ModelStatement]): Seq[(String, String, Long, String, String)] = {
     val deps = dependencies(models)
     val schemas = check(models)
+    models.sortBy(_.name).flatMap { m =>
+      val kind = m match { case _: ViewModel => "view"; case _: TableModel => "table" }
+      Seq((m.name, "model", 0L, m.name, kind)) ++
+        deps(m.name).zipWithIndex.map { case (d, i) => (m.name, "dep", i.toLong, d, "") } ++
+        schemas(m.name).fields.zipWithIndex.map { case (f, i) =>
+          (m.name, "column", i.toLong, f.name, f.dataType.simpleString)
+        }
+    }
+  }
+
+  /** `docs`: model-graph markdown with a mermaid DAG (reference:
+    * src/main.rs:416-429 writes docs/docs.md), rendered from `docsData`.
+    */
+  def docs(models: Seq[ModelStatement]): String = {
+    val entries = docsData(models)
+    val byModel = entries.groupBy(_._1)
+    val names = byModel.keys.toSeq.sorted
     val sb = new StringBuilder("# Model documentation\n\n```mermaid\ngraph TD\n")
-    deps.toSeq.sortBy(_._1).foreach { case (m, ds) =>
+    names.foreach { m =>
+      val ds = byModel(m).filter(_._2 == "dep").sortBy(_._3).map(_._4)
       if (ds.isEmpty) sb.append(s"  $m\n")
       ds.foreach(d => sb.append(s"  $d --> $m\n"))
     }
     sb.append("```\n\n")
-    models.sortBy(_.name).foreach { m =>
-      val kind = m match { case _: ViewModel => "view"; case _: TableModel => "table" }
-      sb.append(s"## ${m.name} ($kind)\n\n")
-      schemas.get(m.name).foreach { sch =>
+    names.foreach { m =>
+      val kind = byModel(m).find(_._2 == "model").fold("view")(_._5)
+      sb.append(s"## $m ($kind)\n\n")
+      val cols = byModel(m).filter(_._2 == "column").sortBy(_._3)
+      if (cols.nonEmpty) {
         sb.append("| column | type |\n|---|---|\n")
-        sch.fields.foreach(f => sb.append(s"| ${f.name} | ${f.dataType.simpleString} |\n"))
+        cols.foreach(c => sb.append(s"| ${c._4} | ${c._5} |\n"))
       }
       sb.append("\n")
     }

@@ -392,34 +392,75 @@ object Dedup {
     * label (the convergence count rides the same job); components wider
     * than ~12 hops would need large-star/small-star instead. [oracle]
     */
-  def d6_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d4_ngram_jaccard(spark, dir).select("id_a", "id_b")
+  /** Result of min-label propagation: per-node labels plus an explicit
+    * convergence signal — a caller must be able to TELL that a wide
+    * component hit the round cap (and e.g. rerun with more rounds or a
+    * large-star/small-star pass) instead of silently keeping wrong labels.
+    */
+  final case class ClusterResult(labels: DataFrame, converged: Boolean, rounds: Int)
+
+  /** Iterative min-label propagation over an undirected pair list
+    * (`id_a`, `id_b`). Each round is one join + groupBy over the edge
+    * list, checkpointed eagerly to truncate lineage — without that the
+    * plan tree doubles per iteration and analysis itself blows up.
+    * `checkpointDir` selects reliable `checkpoint` (survives executor
+    * loss — what a real cluster run wants) over `localCheckpoint`
+    * (executor-local blocks; fine single-node). Stops as soon as a round
+    * changes no label and reports (converged, rounds) either way.
+    */
+  def clusterLabels(
+      pairs: DataFrame, maxRounds: Int = 12,
+      checkpointDir: Option[String] = None): ClusterResult = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val p = pairs.select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.unionAll(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val edges = p.unionAll(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = pairs.select(col("id_a").as("doc_id"))
-      .unionAll(pairs.select(col("id_b").as("doc_id")))
+    var labels = p.select(col("id_a").as("doc_id"))
+      .unionAll(p.select(col("id_b").as("doc_id")))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
+    labels = snapshot(labels)
     var round = 0
     var converged = false
-    while (round < 12 && !converged) {
+    while (round < maxRounds && !converged) {
       val msgs = edges
         .join(labels, edges("id_a") === labels("doc_id"))
         .select(col("id_b").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label").as("old_label"))
-        .join(
-          labels.select("doc_id", "label").unionAll(msgs)
-            .groupBy("doc_id").agg(min("label").as("label")),
-          Seq("doc_id"))
-        .localCheckpoint(true)
+      val next = snapshot(
+        labels.select(col("doc_id"), col("label").as("old_label"))
+          .join(
+            labels.select("doc_id", "label").unionAll(msgs)
+              .groupBy("doc_id").agg(min("label").as("label")),
+            Seq("doc_id")))
       converged = next.filter(col("label") =!= col("old_label")).isEmpty
       labels = next.select("doc_id", "label")
       round += 1
     }
-    labels
+    // the cap fired mid-propagation: one more probe round decides whether
+    // labels were actually stable (converged exactly at the cap) or not
+    if (!converged) {
+      val msgs = edges
+        .join(labels, edges("id_a") === labels("doc_id"))
+        .select(col("id_b").as("doc_id"), col("label"))
+      val better = labels.select("doc_id", "label").unionAll(msgs)
+        .groupBy("doc_id").agg(min("label").as("min_label"))
+        .join(labels, Seq("doc_id"))
+        .filter(col("min_label") =!= col("label"))
+      converged = better.isEmpty
+    }
+    ClusterResult(labels, converged, round)
+  }
+
+  def d6_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val result = clusterLabels(d4_ngram_jaccard(spark, dir).select("id_a", "id_b"))
+    require(result.converged,
+      s"label propagation did not converge in ${result.rounds} rounds — " +
+        "component diameter exceeds the cap; raise maxRounds or switch to large-star/small-star")
+    result.labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep"))
       .orderBy("cluster_id", "doc_id")
@@ -455,28 +496,51 @@ object Dedup {
       |SELECT s AS doc_id, MIN(t) AS cluster_id, (MIN(t) = s) AS keep
       |FROM reach GROUP BY s ORDER BY cluster_id, doc_id""".stripMargin
 
-  /** d5_embed_dup — embedding-cosine near-dup: random-hyperplane LSH
-    * buckets (8 planes → 256 buckets) generate candidates, exact cosine
-    * ranks them; top-100 closest pairs. Only bucket-local pairs are ever
-    * scored — corpus² never materializes. [rows-only]
+  /** Bucket-size cap for the embedding-LSH self-join (same skew guard as
+    * d2's 100 / d3's 200): a degenerate bucket — and near-identical
+    * embedding clusters are exactly what this operator hunts — would
+    * otherwise put O(n) rows in one key and make a single task quadratic.
     */
-  def d5_embed_dup(spark: SparkSession, dir: String): DataFrame = {
-    val unit = Similarity.withUnit(Tables(spark, dir).embeddings)
-    // both self-join branches read the bucketed frame: persist the one
-    // normalize+8-hyperplane pass instead of running it twice
-    val bucketed = Similarity.withHyperplaneBucket(unit, planes = 8, seed = 7L)
+  val EmbedMaxBucket = 500
+
+  /** Core of d5, parameterized so specs can drive it with synthetic
+    * vectors: hyperplane-bucket the corpus, drop buckets outside
+    * [2, maxBucket] (skew guard), score only bucket-local pairs, keep the
+    * global top-`topN` by exact cosine.
+    */
+  def embedNearDupPairs(
+      embeddings: DataFrame, planes: Int, seed: Long,
+      maxBucket: Int, topN: Int): DataFrame = {
+    val unit = Similarity.withUnit(embeddings)
+    // bucket counts + both self-join branches read the bucketed frame:
+    // persist the one normalize+hyperplane pass instead of running it 3×
+    val bucketed = Similarity.withHyperplaneBucket(unit, planes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = bucketed.as("l")
-      .join(bucketed.as("r"),
+    val ok = bucketed.groupBy("bucket").count()
+      .filter(col("count").between(2, maxBucket)).select("bucket")
+    val members = bucketed.join(ok, Seq("bucket"), "left_semi")
+    members.as("l")
+      .join(members.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(
         col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
         round(Similarity.dot(col("l.unit"), col("r.unit")), 6).as("cosine"))
-    cands.orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc).limit(100)
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc).limit(topN)
   }
 
+  /** d5_embed_dup — embedding-cosine near-dup: random-hyperplane LSH
+    * buckets (8 planes → 256 buckets) generate candidates, exact cosine
+    * ranks them; top-100 closest pairs. Only bucket-local pairs inside the
+    * [2, EmbedMaxBucket] size window are ever scored — corpus² never
+    * materializes and no single bucket can go quadratic. [oracle]
+    */
+  def d5_embed_dup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDupPairs(Tables(spark, dir).embeddings,
+      planes = 8, seed = 7L, maxBucket = EmbedMaxBucket, topN = 100)
+
   /** DuckDB mirror of d5: identical integer hyperplanes → identical
-    * buckets → identical bucket-local pair set and exact cosines.
+    * buckets, identical [2, EmbedMaxBucket] size guard → identical
+    * bucket-local pair set and exact cosines.
     */
   lazy val d5_oracle: String =
     s"""WITH v AS (
@@ -487,10 +551,14 @@ object Dedup {
        |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
        |  FROM v),
        |b AS (
-       |  SELECT vec_id, unit, ${Similarity.bucketSql(8, 7L, "unit")} AS bucket FROM u)
+       |  SELECT vec_id, unit, ${Similarity.bucketSql(8, 7L, "unit")} AS bucket FROM u),
+       |ok AS (
+       |  SELECT bucket FROM b GROUP BY bucket
+       |  HAVING COUNT(*) BETWEEN 2 AND $EmbedMaxBucket),
+       |m AS (SELECT b.* FROM b JOIN ok USING (bucket))
        |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
        |  round(list_dot_product(l.unit, r.unit), 6) AS cosine
-       |FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |FROM m l JOIN m r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
        |ORDER BY cosine DESC, id_a ASC, id_b ASC
        |LIMIT 100""".stripMargin
 }

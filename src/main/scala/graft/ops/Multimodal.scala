@@ -92,18 +92,43 @@ object Multimodal {
     }
   }
 
-  /** m1_multimodal — end-to-end: synthesize media, extract features
-    * partition-wise, emit per-asset rows (stable ordering). [rows-only:
-    * the checksum uses wrap-around long arithmetic and the feature fold
-    * is f32 — neither reproducible in SQL]
+  /** Full per-asset extraction output including the engine-specific
+    * columns: `checksum` uses wrap-around long arithmetic and `feat_l1`
+    * is an f32 fold — deterministic within Spark (spec-checked) but not
+    * reproducible in SQL, so they stay out of the oracle-checked entry.
     */
-  def m1_multimodal(spark: SparkSession, dir: String): DataFrame =
+  def m1_features(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir))
       .toDF()
       .withColumn("feat_l1", round(expr(
         "aggregate(feature, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 4))
-      .select("doc_id", "modality", "n_bytes", "checksum", "feat_l1")
+      .withColumn("feat_dim", size(col("feature")).cast("long"))
+      .select("doc_id", "modality", "n_bytes", "checksum", "feat_l1", "feat_dim")
       .orderBy("doc_id")
+
+  /** m1_multimodal — end-to-end: synthesize media, extract features
+    * partition-wise, emit the integer-exact per-asset contract (id,
+    * modality routing, payload byte count, feature width). Every row
+    * passes through the real mapPartitions extraction path, so the oracle
+    * proves the plumbing delivers each asset exactly once with intact
+    * payload length and a fixed-width feature vector; the non-portable
+    * checksum/feat_l1 columns live in `m1_features` (spec-checked). [oracle]
+    */
+  def m1_multimodal(spark: SparkSession, dir: String): DataFrame =
+    m1_features(spark, dir)
+      .select("doc_id", "modality", "n_bytes", "feat_dim")
+      .orderBy("doc_id")
+
+  /** DuckDB mirror of m1's integer-exact contract: payload bytes =
+    * octet_length of the utf-8 text (the payload IS that encoding),
+    * modality = the same doc_id routing, feat_dim = the fixed 8.
+    */
+  val m1_oracle: String =
+    """SELECT doc_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(8 AS BIGINT) AS feat_dim
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** m2_media_stats — per-modality corpus statistics over the typed media
     * schema: asset counts, payload bytes (binary length), pixel and

@@ -135,16 +135,18 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** s3_ann_ivf — IVF-style ANN: a coarse quantizer (nlist centroids
-    * trained with 2 distributed Lloyd iterations) partitions the corpus
-    * into inverted lists; each query probes its `nprobe` nearest lists
-    * and ranks candidates exactly. The 100 TB shape: training touches the
+  /** IVF-style ANN ranking: a coarse quantizer (nlist centroids trained
+    * with 2 distributed Lloyd iterations) partitions the corpus into
+    * inverted lists; each query probes its `nprobe` nearest lists and
+    * ranks candidates exactly. The 100 TB shape: training touches the
     * corpus twice (narrow map + 1024-row aggregate), assignment is one
     * narrow pass, and each query scores ~nprobe/nlist of the corpus.
-    * Deterministic: centroids initialized from the first nlist vectors.
-    * [rows-only]
+    * Deterministic init (first nlist vectors); the trained centroid
+    * averages are float-sum shuffle-order-dependent, so raw rankings
+    * aren't cross-engine hashable — the driver entry (s3_ann_ivf) checks
+    * the recall INVARIANT against the exact s1 baseline instead.
     */
-  def s3_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val nlist = 16
     val nprobe = 4
     val unit = withUnit(Tables(spark, dir).embeddings)
@@ -182,6 +184,38 @@ object Similarity {
         round(dot(col("qunit"), col("unit")), 6).as("cosine"))
     topKPerQuery(scored, 5)
   }
+
+  /** Minimum acceptable mean recall@5 of the IVF path (nprobe=4 of
+    * nlist=16) against the exact s1 baseline.
+    */
+  val IvfMinRecall = 0.6
+
+  /** s3_ann_ivf — the IVF operator's driver entry: runs `ivfTopK` AND the
+    * exact s1 baseline, joins the two top-5 sets, and emits the
+    * engine-independent quality contract as one row —
+    * (n_queries, k, recall@5 ≥ IvfMinRecall). The oracle pins the
+    * expected literals, so a quantizer/probe regression that drops recall
+    * breaks the hash even though raw IVF rankings are not themselves
+    * cross-engine reproducible. [oracle]
+    */
+  def s3_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1_ann_topk(spark, dir).select("query_id", "neighbor_id")
+    val ivf = ivfTopK(spark, dir).select("query_id", "neighbor_id")
+    val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        (count(lit(1)) / countDistinct(col("query_id"))).cast("long").as("k"))
+      .join(hits.agg(count(lit(1)).as("n_hits")))
+      .select(
+        col("n_queries"), col("k"),
+        (col("n_hits").cast("double") / (col("n_queries") * col("k"))
+          >= IvfMinRecall).as("recall_ok"))
+  }
+
+  /** Invariant oracle for s3: the literal quality contract. */
+  val s3_oracle: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+      |       TRUE AS recall_ok""".stripMargin
 
   /** cluster id = argmax_c dot(unit, centroid_c), ties to lowest id. */
   private def assignToCentroid(unitDf: DataFrame, centroids: Array[Array[Double]]): DataFrame =

@@ -121,6 +121,54 @@ object ModelQueries {
       |) t(model, ordinal, "column", sql_type)
       |ORDER BY model, ordinal""".stripMargin
 
+  /** a4_model_docs — the `docs` command surface as data (reference:
+    * src/main.rs:416-429 renders docs/docs.md): the DAG edge rows and the
+    * per-model inferred (column, type) rows that the markdown/mermaid
+    * renderer displays, emitted straight from ModelEngine.docsData over
+    * a1's three-model DAG. The oracle is the documentation contract
+    * itself — the exact rows graft guarantees for this DAG — so a
+    * dependency-extraction or type-inference regression breaks the hash.
+    */
+  def a4_model_docs(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW big_orders AS
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 150000;
+        |CREATE TABLE cust_orders AS
+        |  SELECT c_custkey, c_mktsegment, o_totalprice
+        |  FROM customer JOIN big_orders ON c_custkey = o_custkey;
+        |CREATE VIEW seg_summary AS
+        |  SELECT c_mktsegment,
+        |    COUNT(*) AS n_big_orders,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS big_revenue
+        |  FROM cust_orders GROUP BY c_mktsegment
+        |""".stripMargin)
+    import spark.implicits._
+    new ModelEngine(spark).docsData(models)
+      .toDF("model", "kind", "ord", "name", "info")
+      .orderBy("model", "kind", "ord")
+  }
+
+  val a4_oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('big_orders',  'column', CAST(0 AS BIGINT), 'o_orderkey',   'bigint'),
+      |  ('big_orders',  'column', 1, 'o_custkey',    'bigint'),
+      |  ('big_orders',  'column', 2, 'o_totalprice', 'double'),
+      |  ('big_orders',  'model',  0, 'big_orders',   'view'),
+      |  ('cust_orders', 'column', 0, 'c_custkey',    'bigint'),
+      |  ('cust_orders', 'column', 1, 'c_mktsegment', 'string'),
+      |  ('cust_orders', 'column', 2, 'o_totalprice', 'double'),
+      |  ('cust_orders', 'dep',    0, 'big_orders',   ''),
+      |  ('cust_orders', 'model',  0, 'cust_orders',  'table'),
+      |  ('seg_summary', 'column', 0, 'c_mktsegment', 'string'),
+      |  ('seg_summary', 'column', 1, 'n_big_orders', 'bigint'),
+      |  ('seg_summary', 'column', 2, 'big_revenue',  'double'),
+      |  ('seg_summary', 'dep',    0, 'cust_orders',  ''),
+      |  ('seg_summary', 'model',  0, 'seg_summary',  'view')
+      |) t(model, kind, ord, name, info)
+      |ORDER BY model, kind, ord""".stripMargin
+
   /** a5_incremental — hash-chained incremental materialization driven
     * end-to-end: run a 2-table DAG, re-run unchanged (everything skips —
     * enforced), then edit the upstream model and re-run (the changed

@@ -341,6 +341,19 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // invariant oracle: DuckDB computes the exact distinct side and pins
+    // the HLL error bound to literal TRUE — the hash breaks unless every
+    // Spark group satisfies |approx − exact| ≤ 3·rsd·exact
+    "q17b_approx_countd" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+        |  TRUE AS parts_within_bound,
+        |  TRUE AS supps_within_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q18_star_revenue" ->
       """SELECT r_name, n_name,
         |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,

@@ -168,8 +168,13 @@ object Relational {
     */
   def q10_setops(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // each distinct input feeds three set-op branches: persist the two
+    // scan+distinct computations once instead of re-running them per
+    // branch (6 scans + 6 shuffles → 2 at any scale)
     val cn = t.customer.select(col("c_nationkey").as("nationkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sn = t.supplier.select(col("s_nationkey").as("nationkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val u = cn.union(sn).distinct().select(lit("union").as("op"), col("nationkey"))
     val i = cn.intersect(sn).select(lit("intersect").as("op"), col("nationkey"))
     val e = cn.except(sn).select(lit("except").as("op"), col("nationkey"))
@@ -283,15 +288,29 @@ object Relational {
 
   /** q17b_approx_countd — approx_count_distinct (HyperLogLog++): the
     * 100 TB path where exact distinct would shuffle every key. rsd=0.01.
-    * Not DuckDB-oracle-able (different sketch); spec-checked vs exact.
+    * DuckDB's HLL is a different sketch, so raw approx values can't
+    * hash-match; instead the entry emits the engine-independent error
+    * INVARIANT — |approx − exact| ≤ 3·rsd·exact per group — alongside the
+    * exact counts. The oracle computes the exact side and asserts the
+    * bound literally TRUE, so a sketch regression breaks the hash. [oracle]
     */
   def q17b_approx_countd(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val rsd = 0.01
     t.lineitem
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps")
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("approx_supps")
+      )
+      .select(
+        col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          <= lit(3 * rsd) * col("exact_parts")).as("parts_within_bound"),
+        (abs(col("approx_supps") - col("exact_supps")).cast("double")
+          <= lit(3 * rsd) * col("exact_supps")).as("supps_within_bound")
       )
       .orderBy("l_returnflag")
   }

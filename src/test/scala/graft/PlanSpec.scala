@@ -104,6 +104,15 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 2, s"expected ≤2 hash exchanges (window+agg share lang key), got:\n$plan")
   }
 
+  test("q10: set-op branches reuse the two persisted distinct inputs, not 6 rescans") {
+    val df = Relational.q10_setops(spark, sfDir)
+    val plan = formatted(df)
+    assert(nodeCount(plan, "Scan parquet") <= 2,
+      s"union/intersect/except must share the cached distinct inputs:\n$plan")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      "distinct inputs must come from the persisted frames")
+  }
+
   test("d4: inverted-index dedup has no cartesian product and prunes via semi join") {
     val plan = formatted(graft.ops.Dedup.d4_ngram_jaccard(spark, sfDir))
     assert(!plan.contains("CartesianProduct"))

@@ -128,6 +128,50 @@ class DedupSpec extends SparkSpec {
     assert(out.nonEmpty && out.length <= 100)
     assert(out.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0001))
   }
+
+  test("d5 skew guard: a degenerate bucket is dropped, small buckets survive") {
+    import spark.implicits._
+    val e0 = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val neg = e0.map(-_)
+    // 2 vectors in one small bucket + 600 identical vectors that all land
+    // in a single degenerate bucket (the exact shape the cap exists for)
+    val df = (Seq(1L -> e0, 2L -> e0) ++ (100L until 700L).map(_ -> neg))
+      .toDF("vec_id", "embedding")
+    val guarded = Dedup
+      .embedNearDupPairs(df, planes = 8, seed = 7L, maxBucket = 500, topN = 5000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(guarded == Set((1L, 2L)),
+      s"degenerate bucket must be pruned, small bucket kept; got $guarded")
+    // same data without the cap: the quadratic pair set reappears —
+    // proving it is the guard doing the pruning, not the bucketing
+    val unguarded = Dedup
+      .embedNearDupPairs(df, planes = 8, seed = 7L, maxBucket = 1000000, topN = 5000)
+      .count()
+    assert(unguarded > 1000)
+  }
+
+  test("d6/clusterLabels: a >12-hop chain reports non-convergence, not wrong labels") {
+    import spark.implicits._
+    // path graph 0-1-2-…-20: min-label needs 20 rounds to reach the tail
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val capped = Dedup.clusterLabels(chain, maxRounds = 6)
+    assert(!capped.converged && capped.rounds == 6)
+    val full = Dedup.clusterLabels(chain, maxRounds = 25)
+    assert(full.converged && full.rounds <= 25)
+    assert(full.labels.filter(col("label") =!= 0L).count() == 0,
+      "fully propagated chain collapses to the minimum label")
+  }
+
+  test("clusterLabels with a reliable checkpoint dir propagates identically") {
+    import spark.implicits._
+    val pairs = Seq((5L, 6L), (6L, 7L), (10L, 11L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val res = Dedup.clusterLabels(pairs, maxRounds = 12, checkpointDir = Some(dir))
+    assert(res.converged)
+    val labels = res.labels.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -142,15 +186,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("s3_ann_ivf: probes nprobe lists, high overlap with exact top-k") {
+  test("ivfTopK: probes nprobe lists, high overlap with exact top-k") {
     val exact = Similarity.s1_ann_topk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val ivf = Similarity.s3_ann_ivf(spark, sfDir).collect()
+    val ivf = Similarity.ivfTopK(spark, sfDir).collect()
     assert(ivf.nonEmpty)
     val pairs = ivf.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     // nprobe=4 of nlist=16 lists → expect substantial (not full) recall
     assert(pairs.intersect(exact).size >= exact.size / 4,
       s"IVF recall too low: ${pairs.intersect(exact).size}/${exact.size}")
+  }
+
+  test("s3_ann_ivf entry emits the satisfied recall contract") {
+    val row = Similarity.s3_ann_ivf(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_queries") == 10L)
+    assert(row.getAs[Long]("k") == 5L)
+    assert(row.getAs[Boolean]("recall_ok"), s"recall@5 below ${Similarity.IvfMinRecall}")
   }
 
   test("s2_ann_lsh returns bucket-local neighbors; nonzero overlap with exact") {
@@ -173,9 +224,13 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 500)
     assert(feats.forall(_.feature.length == 8))
-    val out1 = Multimodal.m1_multimodal(spark, sfDir).collect()
-    val out2 = Multimodal.m1_multimodal(spark, sfDir).collect()
+    val out1 = Multimodal.m1_features(spark, sfDir).collect()
+    val out2 = Multimodal.m1_features(spark, sfDir).collect()
     assert(out1.map(_.getAs[Long]("checksum")).sameElements(out2.map(_.getAs[Long]("checksum"))))
     assert(out1.map(_.getAs[String]("modality")).toSet == Set("image", "audio", "video"))
+    assert(out1.forall(_.getAs[Long]("feat_dim") == 8L))
+    // the oracle-checked entry is the integer-exact projection of the same path
+    assert(Multimodal.m1_multimodal(spark, sfDir).columns.toSeq ==
+      Seq("doc_id", "modality", "n_bytes", "feat_dim"))
   }
 }

@@ -49,6 +49,38 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.count() == orders.filter(col("o_totalprice") > 200000).count())
   }
 
+  test("table models materialize into a JDBC warehouse (embedded Derby) and read back") {
+    import graft.model.{ModelParser, ModelEngine, TableSink}
+    Tables(spark, sfDir).registerAll()
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW jdbc_big AS
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_totalprice > 150000;
+        |CREATE TABLE jdbc_summary AS
+        |  SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+        |  FROM jdbc_big GROUP BY o_orderpriority
+        |""".stripMargin)
+    val url = "jdbc:derby:memory:graft_sink_test;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    new ModelEngine(spark).run(models, TableSink.jdbc(url, props))
+    // the registered view now reads THROUGH the database, not the plan
+    val viaSink = spark.table("jdbc_summary")
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_orders"), r.getAs[Double]("revenue")))
+    val direct = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n_orders"), r.getAs[Double]("revenue")))
+    assert(viaSink.nonEmpty && viaSink.sameElements(direct))
+    // independent read via the raw JDBC source proves the rows landed in Derby
+    val raw = spark.read.jdbc(url, "jdbc_summary", props)
+    assert(raw.count() == direct.length)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val t = Tables(spark, sfDir)
     Sources.writeBucketed(t.lineitem, "li_bucketed", "l_orderkey", 8)
