@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Per-entry bench regression gate.
+
+Compares two bench artifacts (driver BENCH_r{N}.json, or the raw one-line
+JSON graft.Bench prints / writes to target/bench_local.json) and flags
+per-entry regressions above a threshold, so round-over-round perf claims
+are a scripted check instead of a by-hand diff.
+
+Usage:
+  python3 scripts/bench_regress.py BASELINE CURRENT [--threshold 1.5]
+                                   [--min-seconds 0.5]
+
+Exit code 1 if any entry regressed more than the threshold (entries
+faster than --min-seconds in the baseline are reported but never fatal —
+sub-second timings are dominated by scheduling noise).
+
+Both file shapes are accepted:
+  - driver artifact: {"n":…,"rc":…,"tail":"…json line…"} (the JSON line
+    is recovered from the tail; a truncated head is tolerated)
+  - raw line: {"metric":"total","value":…,"queries":{…},"sf":…}
+"""
+
+import argparse
+import json
+import re
+import sys
+
+
+def load_queries(path):
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = {"tail": text}
+    if isinstance(doc, dict) and "queries" in doc:
+        return doc["queries"], float(doc.get("value", sum(doc["queries"].values())))
+    # driver artifact: the bench line lives (possibly truncated) in "tail"
+    tail = doc.get("tail", "") if isinstance(doc, dict) else ""
+    m = re.search(r'"queries":\{([^}]*)\}', tail)
+    pairs = {}
+    if m:
+        body = m.group(1)
+    else:
+        # head of the line cut off: salvage every "name":sec pair in the tail
+        body = tail
+    for name, sec in re.findall(r'"([a-z]\w+)":([0-9.]+)', body):
+        if name not in ("value", "sf", "n", "rc", "cpus"):
+            pairs[name] = float(sec)
+    tm = re.search(r'"metric":"total","value":([0-9.]+)', tail)
+    total = float(tm.group(1)) if tm else sum(pairs.values())
+    if not pairs:
+        sys.exit(f"could not recover any per-query timings from {path}")
+    return pairs, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("baseline")
+    ap.add_argument("current")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="fatal regression ratio (default 1.5x)")
+    ap.add_argument("--min-seconds", type=float, default=0.5,
+                    help="baseline entries faster than this are noise-exempt")
+    args = ap.parse_args()
+
+    base, base_total = load_queries(args.baseline)
+    cur, cur_total = load_queries(args.current)
+
+    common = sorted(set(base) & set(cur))
+    print(f"baseline: {len(base)} entries ({base_total:.1f}s total)  "
+          f"current: {len(cur)} entries ({cur_total:.1f}s total)  "
+          f"common: {len(common)}")
+    for name in sorted(set(cur) - set(base)):
+        print(f"  NEW     {name:<22} {cur[name]:7.2f}s")
+    for name in sorted(set(base) - set(cur)):
+        print(f"  DROPPED {name:<22} was {base[name]:7.2f}s")
+
+    fatal = []
+    for name in common:
+        b, c = base[name], cur[name]
+        ratio = c / b if b > 0 else float("inf")
+        if ratio > args.threshold:
+            tag = "REGRESS" if b >= args.min_seconds else "regress(noise-exempt)"
+            print(f"  {tag:<22} {name:<22} {b:7.2f}s -> {c:7.2f}s  ({ratio:.2f}x)")
+            if b >= args.min_seconds:
+                fatal.append(name)
+        elif ratio < 1 / args.threshold and b >= args.min_seconds:
+            print(f"  improved               {name:<22} {b:7.2f}s -> {c:7.2f}s  ({ratio:.2f}x)")
+
+    bt = sum(base[n] for n in common)
+    ct = sum(cur[n] for n in common)
+    print(f"common-entry total: {bt:.1f}s -> {ct:.1f}s ({ct/bt:.2f}x)")
+    if fatal:
+        print(f"FATAL: {len(fatal)} entries regressed >{args.threshold}x: {', '.join(fatal)}")
+        sys.exit(1)
+    print("no fatal regressions")
+
+
+if __name__ == "__main__":
+    main()

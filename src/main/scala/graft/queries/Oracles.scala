@@ -341,6 +341,17 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // invariant oracle: exact group sizes + the sketch's rank-error
+    // guarantee pinned TRUE — a quantile-sketch regression (wrong value,
+    // broken merge) pushes a rank outside ±1/accuracy and breaks the hash
+    "q45_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     // invariant oracle: DuckDB computes the exact distinct side and pins
     // the HLL error bound to literal TRUE — the hash breaks unless every
     // Spark group satisfies |approx − exact| ≤ 3·rsd·exact

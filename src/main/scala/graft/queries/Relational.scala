@@ -757,4 +757,44 @@ object Relational {
           .cast("double").as("total_price"))
       .orderBy("o_orderpriority")
   }
+
+  /** q45_quantile_sketch — mergeable quantile sketch (percentile_approx,
+    * the KLL/GK-family operator): at 100 TB exact percentiles would sort
+    * or multi-pass the data, the sketch is one partial-aggregated pass.
+    * Like q17b the sketch internals differ per engine, so the entry emits
+    * the engine-independent RANK-ERROR invariant: for each p in
+    * {0.5, 0.9, 0.99} the returned value v must satisfy
+    * rank(< v)/n ≤ p + 1/accuracy AND rank(≤ v)/n ≥ p − 1/accuracy
+    * (the open/closed bracket makes the check tie-safe). The oracle
+    * computes the exact group sizes and pins the bounds TRUE. [oracle]
+    */
+  def q45_quantile_sketch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val acc = 1000
+    val eps = 1.0 / acc
+    val ps = Seq(0.5, 0.9, 0.99)
+    val approx = t.lineitem.groupBy("l_returnflag")
+      .agg(percentile_approx(
+        col("l_extendedprice"),
+        array(ps.map(lit): _*), lit(acc)).as("ap"))
+    // one more scan computes the exact rank bracket of each sketch value
+    val withRanks = t.lineitem.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        ps.indices.flatMap { i =>
+          Seq(
+            sum(when(col("l_extendedprice") < element_at(col("ap"), i + 1), 1L)
+              .otherwise(0L)).as(s"lt$i"),
+            sum(when(col("l_extendedprice") <= element_at(col("ap"), i + 1), 1L)
+              .otherwise(0L)).as(s"le$i"))
+        }: _*)
+    withRanks.select(
+        col("l_returnflag") +: col("n_rows") +: ps.zipWithIndex.map { case (p, i) =>
+          ((col(s"lt$i").cast("double") / col("n_rows") <= p + eps) &&
+            (col(s"le$i").cast("double") / col("n_rows") >= p - eps))
+            .as(s"p${(p * 100).toInt}_ok")
+        }: _*)
+      .orderBy("l_returnflag")
+  }
 }
