@@ -455,11 +455,74 @@ object Dedup {
     ClusterResult(labels, converged, round)
   }
 
+  /** Connected components by the alternating large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", ACM SoCC 2014 — public): round count is O(log² n) in the
+    * component size, NOT its diameter, so a 100 TB run with one
+    * pathological million-hop chain converges in ~20 rounds where
+    * min-label propagation would need a million. Each round is two star
+    * steps; each step is one groupBy + one join on the SAME key, so the
+    * join reuses the aggregation's hash partitioning (no extra
+    * exchange). Output contract is identical to [[clusterLabels]]:
+    * every node labeled with the minimum node id of its component.
+    *
+    *  - large-star: per node u with m = min({u} ∪ N(u)), reattach every
+    *    strictly-larger neighbor v > u to m — tall trees flatten.
+    *  - small-star: orient edges child > parent; per child u with
+    *    m = min(parents), reattach u and its other parents to m.
+    *
+    * Fixpoint (a star per component) is detected as an unchanged edge
+    * set; `snapshot` (localCheckpoint, or reliable `checkpoint(dir)` on
+    * a cluster) truncates lineage each round like clusterLabels.
+    */
+  def clusterLabelsStar(
+      pairs: DataFrame, maxRounds: Int = 20,
+      checkpointDir: Option[String] = None): ClusterResult = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val nodes = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // canonical direction child > parent; self-loops dropped
+    var edges = snapshot(pairs
+      .select(greatest(col("id_a"), col("id_b")).as("child"),
+        least(col("id_a"), col("id_b")).as("parent"))
+      .filter(col("child") =!= col("parent")).distinct())
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val bi = edges.select(col("child").as("u"), col("parent").as("v"))
+        .unionAll(edges.select(col("parent").as("u"), col("child").as("v")))
+      val uMin = bi.groupBy("u").agg(min("v").as("mv"))
+      val large = bi.join(uMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("child"), least(col("u"), col("mv")).as("parent"))
+        .filter(col("child") =!= col("parent")).distinct()
+      val cMin = large.groupBy("child").agg(min("parent").as("m"))
+      val small = snapshot(large.join(cMin, "child")
+        .select(col("parent").as("child"), col("m").as("parent"))
+        .unionAll(cMin.select(col("child"), col("m").as("parent")))
+        .filter(col("child") =!= col("parent")).distinct())
+      converged = small.unionAll(edges)
+        .groupBy("child", "parent").agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 2).isEmpty
+      edges = small
+      round += 1
+    }
+    val labels = nodes.join(edges.select(col("child").as("doc_id"),
+        col("parent").as("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+    ClusterResult(labels, converged, round)
+  }
+
   def d6_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
-    val result = clusterLabels(d4_ngram_jaccard(spark, dir).select("id_a", "id_b"))
+    val result = clusterLabelsStar(d4_ngram_jaccard(spark, dir).select("id_a", "id_b"))
     require(result.converged,
-      s"label propagation did not converge in ${result.rounds} rounds — " +
-        "component diameter exceeds the cap; raise maxRounds or switch to large-star/small-star")
+      s"star contraction did not converge in ${result.rounds} rounds — " +
+        "raise maxRounds (round count is logarithmic in component size)")
     result.labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep"))

@@ -239,4 +239,56 @@ object PipelineOps {
       |  CAST(MAX(c) AS BIGINT) AS max_gram_count,
       |  round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_fraction
       |FROM per_gram GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Per-stratum keep rates in permille for t15 (language rebalancing:
+    * downsample the dominant language hard, keep the rest denser — the
+    * standard corpus-mixing move). One source of truth for the Spark
+    * CASE and the generated DuckDB CASE.
+    */
+  val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 200, "de" -> 500, "es" -> 500, "fr" -> 500, "zh" -> 800)
+
+  /** t15_stratified_sample — DETERMINISTIC stratified sampling: keep a
+    * row iff sha256(doc_id) mod 1000 < rate(stratum). Unlike
+    * `df.sample()` the decision is a pure function of the row key, so
+    * the sample is reproducible across runs, engines, retries, and
+    * cluster sizes — what a training-data pipeline needs for auditable
+    * mixes (and what makes the whole operator hash-checkable). Shape:
+    * one narrow codegen'd scan, zero shuffles for the sample itself; the
+    * per-stratum report is a tiny groupBy. A resample with new rates
+    * rereads only the key column. [oracle]
+    */
+  def t15_stratified_sample(spark: SparkSession, dir: String): DataFrame = {
+    val rateCase = StratRates
+      .map { case (l, r) => s"WHEN '$l' THEN ${r}L" }
+      .mkString("CASE lang ", " ", " ELSE 0L END")
+    Tables(spark, dir).documents
+      .withColumn("rate", expr(rateCase))
+      .withColumn("ticket", pmod(
+        graft.functions.HashExpressions.sha256PrefixLong(
+          col("doc_id").cast("string"), 15), lit(1000L)))
+      .filter(col("ticket") < col("rate"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_sampled"),
+        sum("doc_id").cast("long").as("sum_doc_id"),
+        min("ticket").as("min_ticket"),
+        max("ticket").as("max_ticket"))
+      .orderBy("lang")
+  }
+
+  val t15_oracle: String = {
+    val rateCase = StratRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+    s"""WITH ticketed AS (
+       |  SELECT lang, doc_id,
+       |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS ticket,
+       |    $rateCase AS rate
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_sampled,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       |  MIN(ticket) AS min_ticket, MAX(ticket) AS max_ticket
+       |FROM ticketed WHERE ticket < rate
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

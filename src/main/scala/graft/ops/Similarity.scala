@@ -329,4 +329,62 @@ object Similarity {
         round(dot(col("qunit"), col("unit")), 6).as("cosine"))
     topKPerQuery(scored, 5)
   }
+
+  /** s5_ann_multiprobe — multi-probe LSH (Lv et al., VLDB 2007, public):
+    * each query probes its own bucket PLUS the `planes` buckets at
+    * Hamming distance 1 (one sign bit flipped — the perturbations most
+    * likely to hold a near neighbor that fell just across one
+    * hyperplane). Recall rises toward s1's without adding planes or
+    * re-bucketing the corpus: the CORPUS side is untouched (still one
+    * narrow bucket pass); only the tiny broadcast query side fans out
+    * ×(planes+1). The standard recall/latency dial at 100 TB — same
+    * bucketed corpus serves single-probe (s2) and multi-probe (s5)
+    * queries. Deterministic integer planes → exact oracle. [oracle]
+    */
+  def s5_ann_multiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 6
+    val unit = withHyperplaneBucket(withUnit(Tables(spark, dir).embeddings), planes, seed = 7L)
+    val probes = queries(unit, 10)
+      .withColumn("flip",
+        explode(array((lit(0L) +: (0 until planes).map(p => lit(1L << p))).toIndexedSeq: _*)))
+      .select(col("query_id"), col("qunit"),
+        col("qbucket").bitwiseXOR(col("flip")).as("pbucket"))
+    val scored = unit
+      .join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qunit"), col("unit")), 6).as("cosine"))
+    topKPerQuery(scored, 5)
+  }
+
+  /** DuckDB mirror of s5: same planes, candidates = bucket XOR ∈
+    * {0} ∪ {2^p}, then s1's exact ranking.
+    */
+  lazy val s5_oracle: String = {
+    val flips = (Seq(0L) ++ (0 until 6).map(p => 1L << p)).mkString(", ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+       |  FROM v),
+       |b AS (
+       |  SELECT vec_id, unit, ${bucketSql(6, 7L, "unit")} AS bucket FROM u),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.unit, c.unit), 6) AS cosine
+       |  FROM b q JOIN b c
+       |    ON xor(q.bucket, c.bucket) IN ($flips) AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -258,4 +258,48 @@ object TextOps {
         "aggregate(shingles, CAST(9223372036854775807 AS BIGINT), (acc, s) -> least(acc, xxhash64(s))) AS fingerprint_min",
         "aggregate(shingles, CAST(0 AS BIGINT), (acc, s) -> acc ^ xxhash64(s)) AS fingerprint_xor")
       .orderBy("doc_id")
+
+  /** t14_pii_redact — scrubbing pass (t7's destructive sibling): find
+    * PII spans by pattern, REPLACE them with typed placeholders, and
+    * count what was removed — the find/replace/count contract every
+    * pretraining corpus scrub runs. The contact note is composed
+    * deterministically from the customer row (the tables carry no real
+    * PII), then email and phone patterns are redacted. Patterns stay in
+    * the lookahead-free regex subset Java and RE2 share, so the whole
+    * transform is hash-checked cross-engine. Narrow projection: one
+    * scan, no shuffle, codegen'd regexp — the 100 TB shape is
+    * embarrassingly parallel. [oracle]
+    */
+  def t14_pii_redact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer.selectExpr(
+        "c_custkey",
+        """concat(c_name, ' reachable at ', lower(c_name), '@example.com',
+          | ' or +1-', lpad(CAST(c_custkey % 1000 AS STRING), 3, '0'),
+          | '-555-', lpad(CAST(c_custkey % 10000 AS STRING), 4, '0'))
+          | AS note""".stripMargin)
+      .selectExpr(
+        "c_custkey",
+        s"regexp_replace(regexp_replace(note, '$EmailRe', '[EMAIL]'), '$PhoneRe', '[PHONE]') AS note_redacted",
+        s"CAST(size(regexp_extract_all(note, '$EmailRe', 0)) + size(regexp_extract_all(note, '$PhoneRe', 0)) AS BIGINT) AS n_pii")
+      .orderBy("c_custkey")
+
+  /** Lookahead-free patterns shared verbatim by Java regex and RE2. */
+  private val EmailRe = """[a-z0-9#._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"""
+  private val PhoneRe = """\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"""
+
+  val t14_oracle: String = {
+    val email = EmailRe.replace("\\\\", "\\")
+    val phone = PhoneRe.replace("\\\\", "\\")
+    s"""WITH notes AS (
+       |  SELECT c_custkey,
+       |    concat(c_name, ' reachable at ', lower(c_name), '@example.com',
+       |      ' or +1-', lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'),
+       |      '-555-', lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS note
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  regexp_replace(regexp_replace(note, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g') AS note_redacted,
+       |  CAST(len(regexp_extract_all(note, '$email')) + len(regexp_extract_all(note, '$phone')) AS BIGINT) AS n_pii
+       |FROM notes
+       |ORDER BY c_custkey""".stripMargin
+  }
 }

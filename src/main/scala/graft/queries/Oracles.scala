@@ -341,6 +341,15 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "q46_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  COUNT(*) AS n,
+         |  $MONEY_Q AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+         |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
     // invariant oracle: exact group sizes + the sketch's rank-error
     // guarantee pinned TRUE — a quantile-sketch regression (wrong value,
     // broken merge) pushes a rank outside ±1/accuracy and breaks the hash

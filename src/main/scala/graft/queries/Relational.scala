@@ -758,6 +758,26 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q46_grouping_sets — EXPLICIT grouping sets: the non-hierarchical
+    * combination ((flag, status), (flag), (status)) that neither ROLLUP
+    * (q15, prefix-hierarchical) nor CUBE (q30, all subsets) expresses.
+    * DataFrame API has no grouping-sets verb, so this rides the SQL
+    * frontend — one scan, one Expand (3 replicas), one shuffle, partial
+    * aggregation before it, exactly like rollup/cube. NULL group keys
+    * ordered NULLS FIRST explicitly so engines agree.
+    */
+  def q46_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id() AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** q45_quantile_sketch — mergeable quantile sketch (percentile_approx,
     * the KLL/GK-family operator): at 100 TB exact percentiles would sort
     * or multi-pass the data, the sketch is one partial-aggregated pass.

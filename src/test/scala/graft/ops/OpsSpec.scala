@@ -162,6 +162,26 @@ class DedupSpec extends SparkSpec {
       "fully propagated chain collapses to the minimum label")
   }
 
+  test("d6/clusterLabelsStar: logarithmic rounds collapse a chain far past the label-prop cap") {
+    import spark.implicits._
+    // path graph 0-1-…-60: label propagation needs 60 rounds (diameter);
+    // star contraction is logarithmic in component SIZE, not diameter
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.clusterLabelsStar(chain, maxRounds = 20)
+    assert(star.converged, s"star contraction should converge, took ${star.rounds} rounds")
+    assert(star.rounds <= 12, s"rounds should be logarithmic, got ${star.rounds}")
+    assert(star.labels.filter(col("label") =!= 0L).count() == 0,
+      "every chain node labels to the component minimum")
+    assert(star.labels.count() == 61)
+    // multiple components + a cycle: same contract as clusterLabels
+    val mixed = Seq((5L, 6L), (6L, 7L), (7L, 5L), (10L, 11L), (3L, 9L)).toDF("id_a", "id_b")
+    val res = Dedup.clusterLabelsStar(mixed)
+    assert(res.converged)
+    val labels = res.labels.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 3L -> 3L, 9L -> 3L))
+  }
+
   test("clusterLabels with a reliable checkpoint dir propagates identically") {
     import spark.implicits._
     val pairs = Seq((5L, 6L), (6L, 7L), (10L, 11L)).toDF("id_a", "id_b")
