@@ -146,6 +146,54 @@ object Multimodal {
         max(col("sample_rate")).cast("long").as("max_rate"))
       .orderBy("modality")
 
+  /** m3_frame_sample — video frame sampling: for each video asset, emit a
+    * uniform-stride subset of frame indices (~8 samples: stride =
+    * max(1, n_frames/8)) with per-sample timestamps — the standard
+    * pick-frames-then-decode front half of a video ingest pipeline. The
+    * decode of each sampled frame is the same stubbed contract as m1;
+    * everything before it is real: per-asset frame counts from metadata
+    * (deterministic here; a real lake reads them from the container
+    * header), sequence + posexplode fan-out (narrow — the binary payload
+    * is NOT replicated per frame; the decoder later seeks into it), and
+    * integer-exact timestamps (DIV, not double division, so engines
+    * agree). One scan, zero shuffles. [oracle]
+    */
+  def m3_frame_sample(spark: SparkSession, dir: String): DataFrame = {
+    val fps = 24
+    mediaTable(spark, dir).toDF()
+      .filter(col("modality") === "video")
+      .withColumn("n_frames", (pmod(col("doc_id"), lit(240)) + lit(30)).cast("int"))
+      .withColumn("stride", greatest(lit(1), expr("CAST(n_frames DIV 8 AS INT)")))
+      .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        col("stride").cast("long").as("stride"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride"))).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"),
+        expr("CAST(frame_idx DIV stride AS BIGINT)").as("sample_no"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"CAST(frame_idx * 1000L DIV $fps AS BIGINT)").as("ts_ms"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** DuckDB mirror of m3: same metadata formulas, range() fan-out,
+    * integer division (`//`) for sample_no and timestamps.
+    */
+  val m3_oracle: String =
+    """WITH vids AS (
+      |  SELECT doc_id, CAST(doc_id % 240 + 30 AS BIGINT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |s AS (
+      |  SELECT doc_id, n_frames, GREATEST(1, n_frames // 8) AS stride
+      |  FROM vids),
+      |fr AS (
+      |  SELECT doc_id, n_frames, stride,
+      |    unnest(range(0, n_frames, stride)) AS frame_idx
+      |  FROM s)
+      |SELECT doc_id, n_frames,
+      |  frame_idx // stride AS sample_no,
+      |  frame_idx,
+      |  frame_idx * 1000 // 24 AS ts_ms
+      |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+
   /** DuckDB mirror of m2: payload bytes = octet_length(text) (the payload
     * IS the utf-8 encoding of the text), metadata formulas inlined.
     */

@@ -758,6 +758,33 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q47_exists — the CORRELATED subquery family q11 (uncorrelated
+    * scalar) doesn't cover: correlated EXISTS, correlated NOT EXISTS,
+    * and a correlated scalar COUNT per outer row. ONE query text runs
+    * verbatim on Spark and DuckDB (q41's frontend-parity discipline).
+    * Catalyst decorrelates all three into joins — EXISTS → left-semi,
+    * NOT EXISTS → left-anti, scalar COUNT → aggregate + left outer — so
+    * the executed plan is three hash joins against one orders scan
+    * each, never a per-row subquery loop (the thing that cannot scale).
+    */
+  def q47_exists(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.sql(EXISTS_TEXT)
+  }
+
+  /** Runs unchanged on Spark AND DuckDB. */
+  val EXISTS_TEXT: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice < 10000)
+      |ORDER BY c.c_custkey""".stripMargin
+
   /** q46_grouping_sets — EXPLICIT grouping sets: the non-hierarchical
     * combination ((flag, status), (flag), (status)) that neither ROLLUP
     * (q15, prefix-hierarchical) nor CUBE (q30, all subsets) expresses.

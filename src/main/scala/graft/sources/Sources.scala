@@ -52,6 +52,50 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** DYNAMIC partition overwrite: replace ONLY the partitions present in
+    * `df`, leave every other partition untouched. The daily-refresh
+    * primitive at 100 TB — reprocessing one date must not truncate the
+    * table, and a static overwrite (Spark's default) would. Set per-write
+    * (option, not session conf) so callers can't clobber each other.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Schema-evolution read: union the schemas of all parquet footers under
+    * `path` (columns added by newer writers surface as nulls in old
+    * files). Off by default in Spark because footer-merging costs a pass
+    * over file metadata — turn it on only at evolution boundaries.
+    */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Audited jsonl read: PERMISSIVE mode routes rows that fail to parse
+    * into a `_corrupt_record` column instead of killing the 100 TB job
+    * (FAILFAST) or silently dropping them (DROPMALFORMED). Returns
+    * (good, corrupt): good rows with data columns, corrupt rows with the
+    * raw line preserved for quarantine/replay.
+    */
+  def jsonLinesAudited(
+      spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.StringType
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // Spark forbids filtering _corrupt_record on the lazy scan alone
+    val good = raw.filter(raw.col("_corrupt_record").isNull).drop("_corrupt_record")
+    val corrupt = raw.filter(raw.col("_corrupt_record").isNotNull)
+      .select("_corrupt_record")
+    (good, corrupt)
+  }
+
   /** MERGE-style upsert (incremental refresh): rows in `updates` replace
     * same-key rows in `base`; new keys append. The anti join is the only
     * wide stage and it shuffles on the merge key — with base and updates

@@ -27,6 +27,48 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("dynamic partition overwrite replaces only the partitions being written") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dynpart_").toString
+    val v1 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("id", "part", "v")
+    Sources.overwritePartitions(v1, s"$tmp/t", Seq("part"))
+    // refresh ONLY partition b; partition a must survive
+    val v2 = Seq((9L, "b", 99L)).toDF("id", "part", "v")
+    Sources.overwritePartitions(v2, s"$tmp/t", Seq("part"))
+    val back = Sources.parquet(spark, s"$tmp/t")
+      .select("id", "part", "v").orderBy("id").collect().map(_.toSeq)
+    assert(back.toSeq == Seq(Seq(1L, "a", 10L), Seq(2L, "a", 20L), Seq(9L, "b", 99L)))
+  }
+
+  test("mergeSchema read unions evolved schemas; old files yield nulls for new columns") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("evolve_").toString
+    Seq((1L, "x")).toDF("id", "s").write.parquet(s"$tmp/t/gen=1")
+    Seq((2L, "y", 3.5)).toDF("id", "s", "score").write.parquet(s"$tmp/t/gen=2")
+    val evolved = Sources.parquetEvolved(spark, s"$tmp/t")
+    assert(evolved.columns.toSet == Set("id", "s", "score", "gen"))
+    val byId = evolved.collect().map(r => r.getAs[Long]("id") -> r.getAs[Any]("score")).toMap
+    assert(byId(1L) == null && byId(2L) == 3.5)
+  }
+
+  test("PERMISSIVE jsonl audit splits parseable rows from quarantined corrupt lines") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("audit_").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "data.jsonl"),
+      java.util.Arrays.asList(
+        """{"id": 1, "name": "ok"}""",
+        """{"id": broken!!""",
+        """{"id": 2, "name": "fine"}"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, corrupt) = Sources.jsonLinesAudited(spark, tmp, schema)
+    assert(good.orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "ok"), Seq(2L, "fine")))
+    val quarantined = corrupt.collect().map(_.getString(0))
+    assert(quarantined.length == 1 && quarantined.head.contains("broken"))
+  }
+
   test("upsert replaces matched keys and appends new ones") {
     import spark.implicits._
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")

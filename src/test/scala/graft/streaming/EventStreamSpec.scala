@@ -73,6 +73,34 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("Trigger.AvailableNow file ingest: each run drains only files the checkpoint hasn't seen") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("avail_now_").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      // AvailableNow = incremental batch: process everything currently in
+      // `in` that the checkpoint hasn't recorded, then stop — the
+      // scheduled-ingest pattern that replaces hand-rolled file bookkeeping
+      val q = spark.readStream.schema(schema).json(in)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").json(in)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").json(in)
+    runOnce()
+    val all = spark.read.parquet(out).orderBy("id").collect().map(_.getLong(0))
+    assert(all.toSeq == Seq(1L, 2L, 3L), "second run appends only the new file's rows")
+  }
+
   test("foreachBatch idempotent sink: batches land once, replay overwrites not duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
