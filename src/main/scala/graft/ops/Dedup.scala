@@ -518,11 +518,26 @@ object Dedup {
     ClusterResult(labels, converged, round)
   }
 
+  /** Adaptive components: min-label propagation first (cheapest per
+    * round — near-dup components are overwhelmingly shallow cliques, so
+    * it converges in 2-3 rounds), escalating to star contraction ONLY if
+    * the diameter cap fires. The escalation is what makes the cap safe:
+    * a pathological wide component costs one abandoned propagation phase
+    * and then O(log² n) star rounds, instead of either wrong labels or
+    * an unbounded round count.
+    */
+  def clusterLabelsAuto(
+      pairs: DataFrame, propRounds: Int = 12,
+      checkpointDir: Option[String] = None): ClusterResult = {
+    val lp = clusterLabels(pairs, propRounds, checkpointDir)
+    if (lp.converged) lp else clusterLabelsStar(pairs, checkpointDir = checkpointDir)
+  }
+
   def d6_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
-    val result = clusterLabelsStar(d4_ngram_jaccard(spark, dir).select("id_a", "id_b"))
+    val result = clusterLabelsAuto(d4_ngram_jaccard(spark, dir).select("id_a", "id_b"))
     require(result.converged,
-      s"star contraction did not converge in ${result.rounds} rounds — " +
-        "raise maxRounds (round count is logarithmic in component size)")
+      s"component labeling did not converge in ${result.rounds} rounds " +
+        "even after star-contraction escalation — raise maxRounds")
     result.labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep"))

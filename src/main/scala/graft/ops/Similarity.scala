@@ -98,9 +98,14 @@ object Similarity {
     * ranking happens on the ROUNDED cosine with a neighbor_id tiebreak,
     * so rank order is engine-independent. [oracle]
     */
-  def s1_ann_topk(spark: SparkSession, dir: String): DataFrame = {
-    val unit = withUnit(Tables(spark, dir).embeddings)
-      .withColumn("bucket", lit(0L))
+  def s1_ann_topk(spark: SparkSession, dir: String): DataFrame =
+    exactTopK(withUnit(Tables(spark, dir).embeddings))
+
+  /** Exact scoring over a pre-normalized frame — shared by s1 and the
+    * s3 recall contract so the normalization pass runs once.
+    */
+  private def exactTopK(unitDf: DataFrame): DataFrame = {
+    val unit = unitDf.withColumn("bucket", lit(0L))
     val q = broadcast(queries(unit, 10))
     val scored = unit.join(q, col("vec_id") =!= col("query_id"))
       .select(
@@ -146,12 +151,14 @@ object Similarity {
     * aren't cross-engine hashable — the driver entry (s3_ann_ivf) checks
     * the recall INVARIANT against the exact s1 baseline instead.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKFromUnit(withUnit(Tables(spark, dir).embeddings)
+      .select("vec_id", "unit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def ivfTopKFromUnit(unit: DataFrame): DataFrame = {
     val nlist = 16
     val nprobe = 4
-    val unit = withUnit(Tables(spark, dir).embeddings)
-      .select("vec_id", "unit")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // --- train: deterministic init + 2 Lloyd iterations ---
     var centroids: Array[Array[Double]] = unit
@@ -199,8 +206,13 @@ object Similarity {
     * cross-engine reproducible. [oracle]
     */
   def s3_ann_ivf(spark: SparkSession, dir: String): DataFrame = {
-    val exact = s1_ann_topk(spark, dir).select("query_id", "neighbor_id")
-    val ivf = ivfTopK(spark, dir).select("query_id", "neighbor_id")
+    // one normalization pass feeds both the exact baseline and the IVF
+    // path (they rescan the persisted frame, not the parquet)
+    val unit = withUnit(Tables(spark, dir).embeddings)
+      .select("vec_id", "unit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = exactTopK(unit).select("query_id", "neighbor_id")
+    val ivf = ivfTopKFromUnit(unit).select("query_id", "neighbor_id")
     val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
     exact.agg(
         countDistinct(col("query_id")).as("n_queries"),

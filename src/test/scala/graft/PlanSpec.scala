@@ -132,4 +132,45 @@ class PlanSpec extends SparkSpec {
     assert(nodeCount(hist, "Scan parquet") == 1)
     assert(hist.contains("partial_count"), "histogram counts must partial-aggregate map-side")
   }
+
+  test("q47: correlated subqueries decorrelate to semi/anti joins, no per-row loops") {
+    val plan = formatted(Relational.q47_exists(spark, sfDir))
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as a left-semi join")
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q46: explicit grouping sets plan one Expand over one scan") {
+    val plan = formatted(Relational.q46_grouping_sets(spark, sfDir))
+    assert(nodeCount(plan, "Expand") == 1 && nodeCount(plan, "Scan parquet") == 1)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "grouping-sets aggregate must be partial before the shuffle")
+  }
+
+  test("t15: stratified sample filter is narrow — only the report agg shuffles") {
+    val plan = formatted(graft.ops.PipelineOps.t15_stratified_sample(spark, sfDir))
+    // exchanges: one for the groupBy report, one for the output sort — the
+    // sample membership decision itself must not move data
+    assert(nodeCount(plan, "Exchange") <= 2,
+      s"sampling must be a narrow scan-side filter, got\n$plan")
+    assert(nodeCount(plan, "Scan parquet") == 1)
+  }
+
+  test("m3: frame fan-out is one scan with no shuffle before the output sort") {
+    val plan = formatted(graft.ops.Multimodal.m3_frame_sample(spark, sfDir))
+    assert(nodeCount(plan, "Scan parquet") == 1)
+    assert(nodeCount(plan, "Exchange") <= 1,
+      "sequence+explode fan-out must be narrow (only the ORDER BY may shuffle)")
+  }
+
+  test("s5: multi-probe fans out the broadcast query side, corpus bucketed once") {
+    val plan = formatted(graft.ops.Similarity.s5_ann_multiprobe(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe join must broadcast the query side")
+    // two scans: the corpus, and the query side with vec_id<10 pushed down
+    // (the ×(planes+1) probe fan-out multiplies only the broadcast side)
+    assert(nodeCount(plan, "Scan parquet") == 2)
+    assert(plan.contains("LessThan(vec_id,10)"),
+      "query-side scan must push the vec_id<10 filter")
+  }
 }

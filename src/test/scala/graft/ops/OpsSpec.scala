@@ -182,6 +182,15 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 3L -> 3L, 9L -> 3L))
   }
 
+  test("d6/clusterLabelsAuto escalates a wide component from label-prop to star contraction") {
+    import spark.implicits._
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // propagation cap of 6 cannot close a 60-hop chain → star takes over
+    val res = Dedup.clusterLabelsAuto(chain, propRounds = 6)
+    assert(res.converged)
+    assert(res.labels.filter(col("label") =!= 0L).count() == 0)
+  }
+
   test("clusterLabels with a reliable checkpoint dir propagates identically") {
     import spark.implicits._
     val pairs = Seq((5L, 6L), (6L, 7L), (10L, 11L)).toDF("id_a", "id_b")
