@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   *     [--data <dir>]         parquet table dir to register as sources
   *     [--warehouse <dir>]    materialization target (default <project>/wh)
   *     [--fail-fast]          stop tests at first failure
+  *     [--select <expr>]      dbt-style graph selector for run/run-incremental:
+  *                            `m` | `+m` (with ancestors) | `m+` (with
+  *                            descendants) | `+m+`, comma-separated; models
+  *                            outside the selection are re-attached from the
+  *                            warehouse instead of rebuilt
   *
   * A PowerSQL user points this at their existing powersql.toml + model/
   * test .sql files unchanged; execution happens on Spark instead of
@@ -30,21 +35,37 @@ object GraftCli {
     flag("--data").foreach(d => Tables(spark, d).registerAll())
     val code = execute(spark, cmd, projectDir,
       flag("--warehouse").getOrElse(s"$projectDir/wh"),
-      args.contains("--fail-fast"))
+      args.contains("--fail-fast"), flag("--select"))
     spark.stop()
     if (code != 0) sys.exit(code)
   }
 
   /** Testable core: returns the process exit code. */
   def execute(spark: SparkSession, cmd: String, projectDir: String,
-              warehouse: String, failFast: Boolean): Int = {
+              warehouse: String, failFast: Boolean,
+              select: Option[String] = None): Int = {
     val project = Project.load(s"$projectDir/powersql.toml")
     def resolve(dirs: Seq[String]) = dirs.map { d =>
       if (new java.io.File(d).isAbsolute) d else s"$projectDir/$d"
     }
-    val models = resolve(project.models).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseModelFile)
+    val allModels = resolve(project.models).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseModelFile)
     val tests = resolve(project.tests).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseTestFile)
     val engine = new ModelEngine(spark)
+
+    // graph selection: build only the selected slice; everything outside
+    // it re-attaches from its already-materialized warehouse state (so
+    // selected models can still reference unselected parents)
+    val models = select match {
+      case None => allModels
+      case Some(expr) =>
+        val deps = engine.dependencies(allModels)
+        val keep = Selector.expand(deps, expr)
+        // only the selection's UPSTREAM closure needs re-attaching —
+        // unselected descendants are not referenced by anything we build
+        val needed = Selector.expand(deps, keep.map("+" + _).mkString(",")) -- keep
+        engine.registerWarehouse(allModels.filter(m => needed(m.name)), warehouse)
+        allModels.filter(m => keep(m.name))
+    }
 
     cmd match {
       case "check" =>

@@ -283,6 +283,64 @@ object TextOps {
         s"CAST(size(regexp_extract_all(note, '$EmailRe', 0)) + size(regexp_extract_all(note, '$PhoneRe', 0)) AS BIGINT) AS n_pii")
       .orderBy("c_custkey")
 
+  /** t16_lm_surprisal — language-model quality scoring: the corpus's own
+    * bigram statistics score each document's average transition
+    * "surprisal" — the pretraining-filter move (CCNet-style: docs whose
+    * token transitions are improbable under the reference LM are noise).
+    * Surprisal is kept RATIONAL and integer-exact (c_prefix·1e6 DIV
+    * c_bigram — order-isomorphic to -log p(w2|w1) per transition) so the
+    * whole operator is engine-independent, like t12's idf.
+    *
+    * Scale shape: the bigram stream (one explode) is persisted and used
+    * twice — once aggregated into the LM table, once joined back for
+    * scoring. The LM join is keyed on the bigram; Catalyst/AQE broadcasts
+    * the stats side when the vocabulary is small and shuffle-joins when
+    * it isn't (at 100 TB the LM table is itself big — there is no
+    * driver-side model object anywhere). [oracle]
+    */
+  def t16_lm_surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val stream = Tables(spark, dir).documents
+      .select(col("doc_id"), expr(TOKENS).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigStats = stream.groupBy("bigram").agg(count(lit(1)).as("c_big"))
+      .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
+    val prefStats = bigStats.groupBy("w1").agg(sum("c_big").cast("long").as("c_pref"))
+    val lm = bigStats.join(prefStats, "w1").select("bigram", "c_big", "c_pref")
+    stream.join(lm, "bigram")
+      .withColumn("surprisal", expr("c_pref * 1000000L DIV c_big"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("surprisal").cast("long").as("sum_surprisal"))
+      .withColumn("avg_surprisal", expr("sum_surprisal DIV n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val t16_oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      |  FROM toks WHERE len(toks) >= 2),
+      |big AS (SELECT bigram, COUNT(*) AS c_big FROM bg GROUP BY bigram),
+      |pref AS (
+      |  SELECT split_part(bigram, ' ', 1) AS w1, CAST(SUM(c_big) AS BIGINT) AS c_pref
+      |  FROM big GROUP BY 1),
+      |j AS (
+      |  SELECT doc_id, c_pref * 1000000 // c_big AS surprisal
+      |  FROM bg
+      |  JOIN big USING (bigram)
+      |  JOIN pref ON split_part(bg.bigram, ' ', 1) = pref.w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(surprisal) AS BIGINT) AS sum_surprisal,
+      |  CAST(SUM(surprisal) // COUNT(*) AS BIGINT) AS avg_surprisal
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Lookahead-free patterns shared verbatim by Java regex and RE2. */
   private val EmailRe = """[a-z0-9#._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"""
   private val PhoneRe = """\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"""

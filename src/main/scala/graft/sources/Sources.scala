@@ -52,6 +52,22 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Parallel JDBC read: `partitionColumn` + bounds split the table into
+    * `numPartitions` range predicates (`col >= lo AND col < hi`) issued
+    * as concurrent connections — the only way a JDBC source scales past
+    * one reader. Filters still push down per-connection (Spark appends
+    * them to each partition's WHERE). Pick bounds from the table's
+    * min/max; rows outside them are still read (first/last partitions
+    * are unbounded), so the split is safe, just possibly skewed.
+    */
+  def jdbcPartitioned(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int,
+      properties: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, properties)
+
   /** DYNAMIC partition overwrite: replace ONLY the partitions present in
     * `df`, leave every other partition untouched. The daily-refresh
     * primitive at 100 TB — reprocessing one date must not truncate the

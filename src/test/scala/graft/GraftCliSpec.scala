@@ -1,5 +1,7 @@
 package graft
 
+import graft.model.Selector
+
 class GraftCliSpec extends SparkSpec {
 
   /** Full reference-shaped project on disk: powersql.toml + models/ +
@@ -56,5 +58,49 @@ class GraftCliSpec extends SparkSpec {
 
   test("unknown command rejected") {
     assert(GraftCli.execute(spark, "explode", projectDir, "/tmp/x", failFast = false) == 2)
+  }
+
+  test("--select builds only the selected slice, re-attaching upstream from the warehouse") {
+    Tables(spark, sfDir).registerAll()
+    val root = java.nio.file.Files.createTempDirectory("graft_sel_").toString
+    new java.io.File(s"$root/models").mkdirs()
+    new java.io.File(s"$root/tests").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/powersql.toml"),
+      "[project]\nname = \"sel\"\nmodels = [\"models\"]\ntests = [\"tests\"]\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/models/chain.sql"),
+      """CREATE TABLE base AS SELECT o_custkey, o_totalprice FROM orders;
+        |CREATE TABLE mid AS SELECT o_custkey, SUM(o_totalprice) AS rev FROM base GROUP BY o_custkey;
+        |CREATE TABLE leaf AS SELECT COUNT(*) AS n FROM mid;
+        |CREATE TABLE unrelated AS SELECT COUNT(*) AS n FROM orders;
+        |""".stripMargin)
+    val wh = s"$root/wh"
+    // full run materializes everything
+    assert(GraftCli.execute(spark, "run", root, wh, failFast = false) == 0)
+    val unrelatedBefore = new java.io.File(s"$wh/unrelated").lastModified()
+    val baseBefore = new java.io.File(s"$wh/base").lastModified()
+    Thread.sleep(1100) // parquet dir mtimes have ~second granularity
+    // select mid+ = mid and its descendants (leaf), never base/unrelated
+    assert(GraftCli.execute(spark, "run", root, wh, failFast = false, Some("mid+")) == 0)
+    assert(new java.io.File(s"$wh/unrelated").lastModified() == unrelatedBefore,
+      "unselected model must not rebuild")
+    assert(new java.io.File(s"$wh/base").lastModified() == baseBefore,
+      "upstream of the selection re-attaches, not rebuilds")
+    assert(new java.io.File(s"$wh/mid").lastModified() > baseBefore)
+    assert(new java.io.File(s"$wh/leaf").lastModified() > baseBefore)
+    // selector validation: unknown names are an error, not a silent no-op
+    intercept[IllegalArgumentException] {
+      GraftCli.execute(spark, "run", root, wh, failFast = false, Some("nope+"))
+    }
+  }
+
+  test("Selector.expand handles +m, m+, +m+ and comma unions over the DAG") {
+    val deps = Map(
+      "base" -> Seq.empty[String], "mid" -> Seq("base"),
+      "leaf" -> Seq("mid"), "other" -> Seq.empty[String])
+    assert(Selector.expand(deps, "mid") == Set("mid"))
+    assert(Selector.expand(deps, "+mid") == Set("base", "mid"))
+    assert(Selector.expand(deps, "mid+") == Set("mid", "leaf"))
+    assert(Selector.expand(deps, "+mid+") == Set("base", "mid", "leaf"))
+    assert(Selector.expand(deps, "other, leaf") == Set("other", "leaf"))
   }
 }

@@ -123,6 +123,24 @@ class SourcesSpec extends SparkSpec {
     assert(raw.count() == direct.length)
   }
 
+  test("partitioned JDBC read splits into parallel range scans with pushdown") {
+    val url = "jdbc:derby:memory:graft_read_test;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val orders = Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.write.mode("overwrite").jdbc(url, "orders_jdbc", props)
+    val back = Sources.jdbcPartitioned(
+      spark, url, "orders_jdbc", "o_orderkey",
+      lowerBound = 0L, upperBound = 15000L, numPartitions = 4, props)
+    assert(back.rdd.getNumPartitions == 4, "4 concurrent range readers")
+    assert(back.count() == orders.count())
+    // a filter composes with the range split (appended per-connection)
+    val filtered = back.filter(back.col("o_totalprice") > 200000)
+    assert(filtered.count() ==
+      orders.filter(orders.col("o_totalprice") > 200000).count())
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val t = Tables(spark, sfDir)
     Sources.writeBucketed(t.lineitem, "li_bucketed", "l_orderkey", 8)
