@@ -341,6 +341,37 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "q49_maps" ->
+      """WITH comp AS (
+        |  SELECT 'base' AS component, l_extendedprice AS v FROM lineitem
+        |  UNION ALL SELECT 'disc', l_extendedprice * l_discount FROM lineitem
+        |  UNION ALL SELECT 'tax', l_extendedprice * l_tax FROM lineitem
+        |  UNION ALL SELECT 'qty', l_quantity FROM lineitem)
+        |SELECT component, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(v AS DECIMAL(18,4))),2) AS DOUBLE) AS total
+        |FROM comp WHERE v > 0
+        |GROUP BY component ORDER BY component""".stripMargin,
+
+    "q48_scd2" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, event_type, us FROM seq
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type,
+        |  us AS valid_from_us,
+        |  LEAD(us, 1) OVER w AS valid_to_us,
+        |  (LEAD(us, 1) OVER w IS NULL) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+        |ORDER BY user_id, version""".stripMargin,
+
     "q46_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

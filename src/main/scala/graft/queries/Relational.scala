@@ -758,6 +758,54 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q49_maps — the MapType surface (q32's sibling for maps):
+    * map_from_arrays construction, map_concat extension, map_filter
+    * lambda pruning, and map explode back to rows — all narrow codegen'd
+    * per-row ops. The oracle needs no map type at all: the exploded
+    * result is checked against a flat UNION ALL formulation, proving the
+    * map path computes exactly the relational answer. [oracle]
+    */
+  def q49_maps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val charges = map_from_arrays(
+      array(lit("base"), lit("disc"), lit("tax")),
+      array(col("l_extendedprice"),
+        col("l_extendedprice") * col("l_discount"),
+        col("l_extendedprice") * col("l_tax")))
+    t.lineitem
+      .select(explode(map_filter(
+        map_concat(charges, map(lit("qty"), col("l_quantity"))),
+        (_, v) => v > 0)).as(Seq("component", "v")))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n"), money(col("v")).as("total"))
+      .orderBy("component")
+  }
+
+  /** q48_scd2 — slowly-changing-dimension type-2 history build: collapse
+    * each user's event stream into versioned validity intervals, opening
+    * a new version only when the tracked attribute (event_type) actually
+    * changes. lag() detects changes, lead() closes intervals, the open
+    * interval is the current version — the standard dimension-history
+    * derivation warehouses run nightly. Two windows over ONE shuffle
+    * (both partition by user_id with the same ordering, so the second
+    * window reuses the first's sort). Timestamps emitted as epoch micros
+    * (BIGINT) per the cross-engine discipline. [oracle]
+    */
+  def q48_scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", lead("us", 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** q47_exists — the CORRELATED subquery family q11 (uncorrelated
     * scalar) doesn't cover: correlated EXISTS, correlated NOT EXISTS,
     * and a correlated scalar COUNT per outer row. ONE query text runs
