@@ -240,6 +240,38 @@ object PipelineOps {
       |  round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_fraction
       |FROM per_gram GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t17_domain_mix — the corpus-mix table: per (source, lang) document
+    * and whitespace-token counts plus each cell's integer-permille share
+    * of all tokens (1000·cell DIV total — exact, engine-independent).
+    * This is the table a pretraining run's sampling weights are
+    * configured from, and the before/after evidence for t15's
+    * rebalancing. One narrow scan → one groupBy; the grand total is a
+    * 1-row broadcast, never a second corpus pass. [oracle]
+    */
+  def t17_domain_mix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .select(col("source"), col("lang"),
+        expr(s"size(${TextOps.TOKENS})").cast("long").as("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("n_tokens"))
+    val total = cells.agg(sum("n_tokens").cast("long").as("total_tokens"))
+    cells.crossJoin(broadcast(total))
+      .withColumn("permille_tokens", expr("n_tokens * 1000L DIV total_tokens"))
+      .select("source", "lang", "n_docs", "n_tokens", "permille_tokens")
+      .orderBy("source", "lang")
+  }
+
+  val t17_oracle: String =
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source, lang),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM cells)
+      |SELECT source, lang, n_docs, n_tokens,
+      |  n_tokens * 1000 // total_tokens AS permille_tokens
+      |FROM cells CROSS JOIN tot
+      |ORDER BY source, lang""".stripMargin
+
   /** Per-stratum keep rates in permille for t15 (language rebalancing:
     * downsample the dominant language hard, keep the rest denser — the
     * standard corpus-mixing move). One source of truth for the Spark

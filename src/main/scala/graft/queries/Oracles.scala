@@ -341,6 +341,29 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "q50_window_countd" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) = 1
+        |      THEN 1 ELSE 0 END AS first_seen
+        |  FROM events),
+        |run AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(SUM(first_seen) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_distinct_types
+        |  FROM seq),
+        |tot AS (
+        |  SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS total_distinct_types
+        |  FROM events GROUP BY user_id)
+        |SELECT r.user_id, r.event_id, r.event_type,
+        |  r.run_distinct_types, t.total_distinct_types
+        |FROM run r JOIN tot t ON t.user_id = r.user_id
+        |ORDER BY r.user_id, r.event_id""".stripMargin,
+
     "q49_maps" ->
       """WITH comp AS (
         |  SELECT 'base' AS component, l_extendedprice AS v FROM lineitem

@@ -758,6 +758,32 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q50_window_countd — DISTINCT aggregation over windows, which no
+    * engine supports natively (`COUNT(DISTINCT) OVER` is rejected by
+    * Spark AND DuckDB): composed from plain windows instead. The
+    * first-occurrence trick — flag the first (user, type) row via
+    * row_number, then a running SUM of flags is the running distinct
+    * count and its partition total is the overall distinct count. All
+    * three windows share one user_id shuffle. The oracle computes the
+    * total through an independent path (COUNT(DISTINCT) + join). [oracle]
+    */
+  def q50_window_countd(spark: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wRun = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wAll = Window.partitionBy("user_id")
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        sum("first_seen").over(wRun).as("run_distinct_types"),
+        sum("first_seen").over(wAll).as("total_distinct_types"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q49_maps — the MapType surface (q32's sibling for maps):
     * map_from_arrays construction, map_concat extension, map_filter
     * lambda pruning, and map explode back to rows — all narrow codegen'd
