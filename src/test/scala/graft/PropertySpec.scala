@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+
+/** Property-based cross-checks: two INDEPENDENT implementations of the
+  * same contract must agree on randomized inputs — the operator-level
+  * analogue of the DuckDB oracle gate (which pins one dataset; these pin
+  * the algorithm). Sizes stay small so each property runs dozens of
+  * random cases in seconds. Driven by scalacheck's own runner (no
+  * scalatestplus bridge in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def checkProp(prop: Prop, minTests: Int): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(minTests)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)) // reproducible CI
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("components: star contraction and label propagation agree on random graphs") {
+    import spark.implicits._
+    val genEdges = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+    checkProp(forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("id_a", "id_b")
+        val lp = graft.ops.Dedup.clusterLabels(df, maxRounds = 30)
+        val star = graft.ops.Dedup.clusterLabelsStar(df)
+        def toMap(r: graft.ops.Dedup.ClusterResult) = r.labels.collect()
+          .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("label")).toMap
+        lp.converged && star.converged && toMap(lp) == toMap(star)
+      }
+    }, minTests = 12)
+  }
+
+  test("top-k: native bounded-heap operator equals window row_number on random data") {
+    import spark.implicits._
+    val genRows = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 4)
+        v <- Gen.choose(-1000, 1000)
+        id <- Gen.choose(0L, 100000L)
+      } yield (g, v, id))
+    } yield rows.distinctBy(_._3) // unique tiebreak key
+    checkProp(forAll(genRows) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("g", "v", "id")
+        val native = graft.plans.TopKPerGroup
+          .topKPerGroup(df, Seq("g"), Seq(("v", false), ("id", true)), 3)
+          .select("g", "v", "id").collect().map(_.toSeq).toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+        val windowed = df.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).select("g", "v", "id")
+          .collect().map(_.toSeq).toSet
+        native == windowed
+      }
+    }, minTests = 12)
+  }
+
+  test("upsert: applying the same update batch twice equals applying it once") {
+    import spark.implicits._
+    val genCase = for {
+      base <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, 30L), Gen.choose(0, 100)))
+      upd <- Gen.listOfN(8, Gen.zip(Gen.choose(0L, 40L), Gen.choose(0, 100)))
+    } yield (base.distinctBy(_._1), upd.distinctBy(_._1))
+    checkProp(forAll(genCase) { case (base, upd) =>
+      val b = base.toDF("k", "v")
+      val u = upd.toDF("k", "v")
+      val once = graft.sources.Sources.upsert(b, u, "k")
+      val twice = graft.sources.Sources.upsert(once, u, "k")
+      once.collect().map(_.toSeq).toSet == twice.collect().map(_.toSeq).toSet
+    }, minTests = 8)
+  }
+
+  test("selector: +m+ always equals the union of +m and m+ on random DAGs") {
+    val genDag: Gen[Map[String, Seq[String]]] = Gen.choose(2, 10).flatMap { n =>
+      val names = (0 until n).map(i => s"m$i")
+      names.zipWithIndex.foldLeft(Gen.const(Map.empty[String, Seq[String]])) {
+        case (acc, (name, i)) =>
+          acc.flatMap { m =>
+            // parents only from earlier names → acyclic by construction
+            Gen.someOf(names.take(i)).map(ps => m + (name -> ps.toSeq))
+          }
+      }
+    }
+    checkProp(forAll(genDag) { deps =>
+      deps.keys.forall { m =>
+        val both = graft.model.Selector.expand(deps, s"+$m+")
+        val union = graft.model.Selector.expand(deps, s"+$m") ++
+          graft.model.Selector.expand(deps, s"$m+")
+        both == union && both.contains(m)
+      }
+    }, minTests = 30)
+  }
+}
