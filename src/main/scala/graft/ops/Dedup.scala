@@ -372,6 +372,61 @@ object Dedup {
       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY jaccard DESC, id_a ASC, id_b ASC""".stripMargin
 
+  /** d7_dedup_editdist — EDIT-DISTANCE near-dup detection: the dedup
+    * family for OCR noise / small in-place corruptions, where token-set
+    * measures (Jaccard, MinHash) under-read similarity because every
+    * corrupted token looks brand new. Candidates come from the same
+    * df-capped inverted shingle index as d4 (bounded fan-out — never
+    * all-pairs), then each pair is verified by full Levenshtein distance
+    * ≤ 40 on the raw text. Levenshtein is classic unit-cost edit
+    * distance in both engines, so the operator is hash-checked
+    * end-to-end. The O(len²) verify runs only on the candidate set the
+    * index admits — the scale contract is the df cap, not the verify.
+    * [oracle]
+    */
+  def d7_dedup_editdist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = inv.groupBy("shingle").count()
+      .filter(col("count").between(2, 20)).select("shingle")
+    val posting = inv.join(rare, Seq("shingle"), "left_semi")
+    val cand = posting.as("l")
+      .join(posting.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .filter(col("edit_dist") <= 40)
+      .select("id_a", "id_b", "edit_dist")
+      .orderBy(col("edit_dist").asc, col("id_a").asc, col("id_b").asc)
+  }
+
+  /** DuckDB mirror of d7: d4's candidate CTE, then levenshtein verify. */
+  val d7_oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [array_to_string(toks, ' ')] END) AS shingles
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM documents)),
+      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20),
+      |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
+      |         JOIN (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) r
+      |           ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |         GROUP BY 1, 2),
+      |v AS (SELECT id_a, id_b,
+      |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      |      FROM cand JOIN documents a ON a.doc_id = id_a
+      |                JOIN documents b ON b.doc_id = id_b)
+      |SELECT id_a, id_b, edit_dist FROM v WHERE edit_dist <= 40
+      |ORDER BY edit_dist ASC, id_a ASC, id_b ASC""".stripMargin
+
   /** d6_dedup_clusters — connected components over the verified near-dup
     * pair graph, by iterative min-label propagation: every document gets
     * a cluster_id (the smallest doc_id reachable through near-dup edges)

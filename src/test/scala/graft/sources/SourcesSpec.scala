@@ -123,6 +123,25 @@ class SourcesSpec extends SparkSpec {
     assert(raw.count() == direct.length)
   }
 
+  test("observed write: pipeline metrics ride the materializing job, no second scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("observe_").toString
+    val orders = Tables(spark, sfDir).orders
+    val (instrumented, obs) = graft.ops.Observed.withMetrics(
+      orders.filter(col("o_totalprice") > 100000), "order_metrics",
+      Seq(
+        "n_rows" -> count(lit(1)),
+        "null_keys" -> sum(when(col("o_custkey").isNull, 1L).otherwise(0L)),
+        "total" -> sum(col("o_totalprice"))))
+    instrumented.write.mode("overwrite").parquet(s"$tmp/out")
+    val m = obs.get
+    // metrics must equal an independent recomputation over what was written
+    val written = spark.read.parquet(s"$tmp/out")
+    assert(m("n_rows") == written.count())
+    assert(m("null_keys") == 0L)
+    assert(math.abs(m("total").asInstanceOf[Double] -
+      written.agg(sum("o_totalprice")).collect()(0).getDouble(0)) < 1e-6)
+  }
+
   test("partitioned JDBC read splits into parallel range scans with pushdown") {
     val url = "jdbc:derby:memory:graft_read_test;create=true"
     val props = new java.util.Properties()
