@@ -240,6 +240,71 @@ object PipelineOps {
       |  round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 4) AS dup_fraction
       |FROM per_gram GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** p1_curation_funnel — the END-TO-END curation pipeline as one
+    * checked operator: raw corpus → language-consistency filter (t1) →
+    * quality filter (t2) → exact-dedup keepers (d1's contract) →
+    * training-split decontamination (t9), emitting surviving docs +
+    * tokens per stage — the attrition funnel every pretraining data
+    * card reports. Each stage is an inner join of the survivor set
+    * against a component operator's keep-set (semi-join shape at
+    * 100 TB: only doc_id + token count flow between stages, never
+    * text). Its oracle is literally composed from the component
+    * oracles (t13's composition-proof pattern) — the stages agree as a
+    * SYSTEM, not just individually. [oracle]
+    */
+  def p1_curation_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
+        expr(s"CAST(size(${TextOps.TOKENS}) AS BIGINT)").as("ntok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val langOk = TextOps.t1_lang_id(spark, dir)
+      .filter(col("lang_pred") === col("lang_declared")).select("doc_id")
+    val qualOk = TextOps.t2_quality(spark, dir)
+      .filter(col("quality") === 1).select("doc_id")
+    val keepers = docs.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val clean = t9_decontaminate(spark, dir)
+      .filter(!col("contaminated")).select("doc_id")
+    val s0 = docs.select("doc_id", "ntok")
+    val s1 = s0.join(langOk, "doc_id")
+    val s2 = s1.join(qualOk, "doc_id")
+    val s3 = s2.join(keepers, "doc_id")
+    val s4 = s3.join(clean, "doc_id")
+    Seq(("raw", s0), ("lang_match", s1), ("quality", s2),
+        ("dedup_keeper", s3), ("train_decontam", s4))
+      .zipWithIndex.map { case ((nm, df), i) =>
+        df.agg(
+            count(lit(1)).as("n_docs"),
+            coalesce(sum("ntok"), lit(0L)).cast("long").as("n_tokens"))
+          .select(lit(i.toLong).as("stage"), lit(nm).as("name"),
+            col("n_docs"), col("n_tokens"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("stage")
+  }
+
+  lazy val p1_oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |lang_ok AS (SELECT doc_id FROM (${TextOps.t1_oracle})
+       |            WHERE lang_pred = lang_declared),
+       |q_ok AS (SELECT doc_id FROM (${TextOps.t2_oracle}) WHERE quality = 1),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+       |clean AS (SELECT doc_id FROM ($t9_oracle) WHERE NOT contaminated),
+       |s1 AS (SELECT d.* FROM d JOIN lang_ok USING (doc_id)),
+       |s2 AS (SELECT s1.* FROM s1 JOIN q_ok USING (doc_id)),
+       |s3 AS (SELECT s2.* FROM s2 JOIN keep USING (doc_id)),
+       |s4 AS (SELECT s3.* FROM s3 JOIN clean USING (doc_id))
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name,
+       |    COUNT(*) AS n_docs, CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens FROM d
+       |  UNION ALL SELECT 1, 'lang_match', COUNT(*), CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM s1
+       |  UNION ALL SELECT 2, 'quality', COUNT(*), CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM s2
+       |  UNION ALL SELECT 3, 'dedup_keeper', COUNT(*), CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM s3
+       |  UNION ALL SELECT 4, 'train_decontam', COUNT(*), CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM s4)
+       |ORDER BY stage""".stripMargin
+
   /** t17_domain_mix — the corpus-mix table: per (source, lang) document
     * and whitespace-token counts plus each cell's integer-permille share
     * of all tokens (1000·cell DIV total — exact, engine-independent).
