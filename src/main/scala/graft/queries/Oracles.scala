@@ -341,6 +341,24 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "q51_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, value
+        |  FROM events),
+        |ph AS (
+        |  SELECT user_id, h, COUNT(*) AS n_events,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS hour_value
+        |  FROM e GROUP BY user_id, h),
+        |bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ph GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds)
+        |SELECT g.user_id, g.h,
+        |  CAST(COALESCE(ph.n_events, 0) AS BIGINT) AS n_events,
+        |  last_value(ph.hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.h ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid g LEFT JOIN ph ON ph.user_id = g.user_id AND ph.h = g.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
+
     "q50_window_countd" ->
       """WITH seq AS (
         |  SELECT user_id, event_id, event_type,

@@ -758,6 +758,34 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q51_resample — time-series regularization: aggregate events onto an
+    * hourly grid, MATERIALIZE the gaps (sequence+explode per user — rows
+    * that don't exist in the source), and forward-fill each gap with the
+    * last observed value (`last(_, ignoreNulls)` over an unbounded
+    * preceding frame). The resample-then-fill contract every downstream
+    * time-series consumer (feature windows, charts, anomaly scoring)
+    * assumes. Scale shape: one groupBy to hourly cells, the grid fan-out
+    * is per-user metadata (2 longs → explode), the fill is one window
+    * over the user's own partition. [oracle]
+    */
+  def q51_resample(spark: SparkSession, dir: String): DataFrame = {
+    val perHour = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"), col("value"))
+      .groupBy("user_id", "h")
+      .agg(count(lit(1)).as("n_events"), money(col("value")).as("hour_value"))
+    val grid = perHour.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perHour, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("hour_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy("user_id", "h")
+  }
+
   /** q50_window_countd — DISTINCT aggregation over windows, which no
     * engine supports natively (`COUNT(DISTINCT) OVER` is rejected by
     * Spark AND DuckDB): composed from plain windows instead. The
