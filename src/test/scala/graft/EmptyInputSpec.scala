@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input hardening: every operator must return an EMPTY
+  * result — not throw — on empty tables. At 100 TB this is the daily
+  * case, not the corner: an empty date partition, a source with no new
+  * files, a filter that matched nothing upstream. The spec materializes
+  * a zero-row copy of every table (real schemas, no rows) and drives
+  * representative entries from each family through it.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  /** Zero-row tables with the production schemas. */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_").toString
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // events: write with the engine-facing µs schema (the ns→long legacy
+    // path only applies to the driver-generated files)
+    Tables(spark, sfDir).events.limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("relational, dedup, ANN, text, and pipeline entries all survive empty tables") {
+    val entries = Seq(
+      "q1_agg", "q7_topk", "q15_rollup", "q20_sessionize", "q40_funnel",
+      "q45_quantile_sketch", "q48_scd2", "q50_window_countd", "q51_resample",
+      "d1_dedup_exact", "d2_dedup_minhash", "d4_ngram_jaccard",
+      "d7_dedup_editdist", "s1_ann_topk", "s2_ann_lsh",
+      "t2_quality", "t8_vocab", "t15_stratified_sample", "t16_lm_surprisal",
+      "t17_domain_mix", "m2_media_stats", "m3_frame_sample")
+    val failures = entries.flatMap { name =>
+      try {
+        SparkEntry.queries(name)(spark, emptyDir).collect()
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}")
+      }
+    }
+    assert(failures.isEmpty, s"entries threw on empty input:\n${failures.mkString("\n")}")
+  }
+
+  test("funnel and report entries keep their row contract on empty input") {
+    // p1 emits its 5 stage rows (all zero) even over an empty corpus —
+    // a report with missing rows breaks downstream schema expectations
+    val p1 = graft.ops.PipelineOps.p1_curation_funnel(spark, emptyDir).collect()
+    assert(p1.length == 5 && p1.forall(_.getAs[Long]("n_docs") == 0L))
+    val q40 = graft.queries.Relational.q40_funnel(spark, emptyDir).collect()
+    assert(q40.length <= 1)
+  }
+
+  test("component labeling handles an empty edge list") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val lp = graft.ops.Dedup.clusterLabels(empty)
+    val star = graft.ops.Dedup.clusterLabelsStar(empty)
+    assert(lp.converged && lp.labels.isEmpty)
+    assert(star.converged && star.labels.isEmpty)
+  }
+}
