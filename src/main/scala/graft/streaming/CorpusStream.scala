@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One streamed document (top-level so state-store codegen can see a
+  * public constructor — see the flatMapGroupsWithState gotcha).
+  */
+final case class StreamDoc(doc_id: Long, text: String)
+
+/** Streaming corpus ingest: the LLM-pipeline operators composed with
+  * Structured Streaming for continuously-arriving crawl data. Two
+  * dedup shapes, by state size:
+  *
+  *  - [[dedupStream]]: engine-managed state — `dropDuplicates` on the
+  *    content fingerprint keeps seen-set state in the state store.
+  *    Right when the key space is bounded (or watermark-evictable via
+  *    dropDuplicatesWithinWatermark); unbounded corpus state belongs in
+  *    a table, not the state store.
+  *  - [[incrementalDedupBatch]]: the 100 TB shape — the seen-set is a
+  *    PARQUET INDEX TABLE, each micro-batch anti-joins against it and
+  *    appends its survivors. foreachBatch + per-batch-id overwrite makes
+  *    replays idempotent (a retried batch rewrites its own partition,
+  *    never duplicates).
+  */
+object CorpusStream {
+
+  /** Content fingerprint for exact dedup (xxhash64 of the normalized
+    * text — collision-safe enough for dedup candidacy; production can
+    * swap in the sha-based 128-bit twin).
+    */
+  def fingerprinted(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", xxhash64(col("text")))
+
+  /** Streaming exact-dedup + quality gate: state-store seen-set. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    fingerprinted(docs)
+      .filter(expr(s"size(${graft.ops.TextOps.TOKENS}) >= 3"))
+      .dropDuplicates("fp")
+
+  /** foreachBatch body: dedup `batch` against the parquet index at
+    * `indexPath` AND within itself, then write survivors as the batch's
+    * own partition. Replay-idempotent: the seen-set EXCLUDES the
+    * batch's own partition (a retried batch must dedup against other
+    * batches, not its own previous attempt — otherwise the retry
+    * anti-joins itself away and overwrites its partition with nothing).
+    * The exclusion filter is on the partition column, so it prunes
+    * directories, not rows.
+    */
+  def incrementalDedupBatch(indexPath: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val withFp = fingerprinted(batch)
+    val seen =
+      if (new java.io.File(indexPath).exists())
+        Some(spark.read.parquet(indexPath)
+          .filter(col("batch") =!= batchId).select("fp"))
+      else None
+    val fresh = seen.fold(withFp)(idx => withFp.join(idx, Seq("fp"), "left_anti"))
+    fresh.dropDuplicates("fp")
+      .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+  }
+}

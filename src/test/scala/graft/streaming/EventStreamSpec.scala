@@ -73,6 +73,58 @@ class EventStreamSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming corpus dedup: state-store seen-set drops cross-batch duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamDoc]
+    val q = CorpusStream.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(
+      StreamDoc(1, "the quick brown fox jumps"),
+      StreamDoc(2, "the quick brown fox jumps"), // in-batch dup
+      StreamDoc(3, "an entirely different document here"),
+      StreamDoc(4, "xx")) // fails the quality gate (< 3 tokens)
+    q.processAllAvailable()
+    stream.addData(
+      StreamDoc(5, "the quick brown fox jumps"), // cross-batch dup
+      StreamDoc(6, "novel content in the second batch"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("corpus_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 3L, 6L),
+      "one survivor per distinct text, quality-gated, across batches")
+  }
+
+  test("incremental dedup index: micro-batches anti-join the parquet index, replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("corpus_idx_").toString + "/index"
+    val stream = MemoryStream[StreamDoc]
+    val q = stream.toDF().writeStream
+      .foreachBatch(CorpusStream.incrementalDedupBatch(idx) _)
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(
+      StreamDoc(1, "alpha beta gamma"), StreamDoc(2, "alpha beta gamma"),
+      StreamDoc(3, "delta epsilon zeta"))
+    q.processAllAvailable()
+    stream.addData(
+      StreamDoc(4, "alpha beta gamma"),   // dup vs index → dropped
+      StreamDoc(5, "eta theta iota"))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.read.parquet(idx).select("text")
+      .collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == Seq("alpha beta gamma", "delta epsilon zeta", "eta theta iota"))
+    // replaying batch 1 against the same index overwrites its own
+    // partition — still 3 rows, not 5 (idempotence under retry)
+    CorpusStream.incrementalDedupBatch(idx)(
+      Seq(StreamDoc(1, "alpha beta gamma"),
+        StreamDoc(3, "delta epsilon zeta")).toDF(), 0L)
+    assert(spark.read.parquet(idx).count() == 3)
+  }
+
   test("Trigger.AvailableNow file ingest: each run drains only files the checkpoint hasn't seen") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
