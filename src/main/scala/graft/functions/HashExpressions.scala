@@ -40,6 +40,25 @@ object HashExpressions {
   def sha256PrefixLong(s: Column, nHex: Int): Column =
     ExpressionUtils.column(Sha256PrefixLong(ExpressionUtils.expression(s), nHex))
 
+  /** Bloom filter aggregate over a LONG key column (Spark's internal
+    * runtime-filter machinery, exposed as a first-class function: these
+    * classes are public but not in the SQL registry). The aggregation
+    * state is an O(numBits) sketch — mergeable map-side like any partial
+    * aggregate, never a driver-side collection.
+    */
+  def bloomFilterAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(key),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits)).toAggregateExpression())
+
+  /** Codegen'd membership probe against a bloom filter binary column. */
+  def mightContain(bloom: Column, key: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom), ExpressionUtils.expression(key)))
+
   /** array<string> shingles → oracle-exact MinHash signature (sha base
     * hash + OracleHashConstants arithmetic) in one narrow codegen pass.
     */

@@ -341,6 +341,15 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // oracle = the PLAIN semi-join: proves the bloom pre-filter changes
+    // the plan, never the result
+    "q52_bloom_semi" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n, $MONEY_Q AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+
     "q51_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, value

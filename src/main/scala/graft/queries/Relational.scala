@@ -758,6 +758,38 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q52_bloom_semi — the explicit bloom-pre-filtered semi-join: build a
+    * bloom filter over the small side's join keys (one aggregate — an
+    * O(bits) sketch, no driver collect), broadcast it, pre-filter the
+    * BIG side with codegen'd `might_contain`, and exact-verify the
+    * survivors with the real semi-join. At 100 TB this is the pattern
+    * that keeps a selective semi-join from shuffling the fact table:
+    * ~all non-matching rows die in the narrow scan-side filter (false
+    * positives only cost verify work, never wrong rows — the exact join
+    * removes them). Result provably ≡ the plain semi-join, which is
+    * exactly what the oracle checks. [oracle]
+    */
+  def q52_bloom_semi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.orders.filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey"))
+    // the sketch itself is one distributed aggregate; only the finished
+    // O(numBits) filter (~50 KB) lands on the driver and re-enters the
+    // plan as a LITERAL — might_contain requires a constant bloom side,
+    // and a literal is exactly how Spark's own runtime filter injects it
+    val bf: Array[Byte] = bigOrders
+      .agg(graft.functions.HashExpressions.bloomFilterAgg(
+        xxhash64(col("o_orderkey")), 50000L, 400000L).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    t.lineitem
+      .filter(graft.functions.HashExpressions.mightContain(
+        lit(bf), xxhash64(col("l_orderkey"))))
+      .join(bigOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), money(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** q51_resample — time-series regularization: aggregate events onto an
     * hourly grid, MATERIALIZE the gaps (sequence+explode per user — rows
     * that don't exist in the source), and forward-fill each gap with the

@@ -163,6 +163,13 @@ class PlanSpec extends SparkSpec {
       "sequence+explode fan-out must be narrow (only the ORDER BY may shuffle)")
   }
 
+  test("q52: bloom pre-filter is scan-side narrow; exact semi-join only sees survivors") {
+    val plan = formatted(Relational.q52_bloom_semi(spark, sfDir))
+    assert(plan.contains("might_contain"),
+      "bloom probe must be in the lineitem filter (codegen'd, scan-side)")
+    assert(plan.contains("LeftSemi"), "exact verify is the semi-join")
+  }
+
   test("s5: multi-probe fans out the broadcast query side, corpus bucketed once") {
     val plan = formatted(graft.ops.Similarity.s5_ann_multiprobe(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
