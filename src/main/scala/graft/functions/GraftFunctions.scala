@@ -50,6 +50,27 @@ object GraftFunctions {
       {
         case Seq(a, b) => DotProduct(a, b)
         case args => throw new IllegalArgumentException(s"dot_product takes 2 args, got ${args.length}")
+      }),
+    (FunctionIdentifier("sha_prefix_long"),
+      new ExpressionInfo(classOf[Sha256PrefixLong].getName, "sha_prefix_long"),
+      {
+        case Seq(s) => Sha256PrefixLong(s, 15)
+        case Seq(s, n) => Sha256PrefixLong(s, intArg(n, "nHex"))
+        case args => throw new IllegalArgumentException(s"sha_prefix_long takes 1-2 args, got ${args.length}")
+      }),
+    (FunctionIdentifier("sha_minhash"),
+      new ExpressionInfo(classOf[ShaMinHash].getName, "sha_minhash"),
+      {
+        case Seq(arr) => ShaMinHash(arr, 64)
+        case Seq(arr, k) => ShaMinHash(arr, intArg(k, "numHashes"))
+        case args => throw new IllegalArgumentException(s"sha_minhash takes 1-2 args, got ${args.length}")
+      }),
+    (FunctionIdentifier("sha_simhash"),
+      new ExpressionInfo(classOf[ShaSimHash].getName, "sha_simhash"),
+      {
+        case Seq(arr) => ShaSimHash(arr, 60)
+        case Seq(arr, b) => ShaSimHash(arr, intArg(b, "bits"))
+        case args => throw new IllegalArgumentException(s"sha_simhash takes 1-2 args, got ${args.length}")
       })
   )
 

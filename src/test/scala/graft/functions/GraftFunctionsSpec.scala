@@ -20,6 +20,24 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Long]("sh") == again.getAs[Long]("sh"))
   }
 
+  test("oracle-exact sha family callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT sha_prefix_long('hello') AS h,
+        |       sha_prefix_long('hello', 8) AS h8,
+        |       size(sha_minhash(array('a b', 'b c'))) AS mk,
+        |       size(sha_minhash(array('a b'), 16)) AS mk16,
+        |       sha_simhash(array('a b', 'b c')) AS ss""".stripMargin)
+      .collect().head
+    // equals the portable formula it replaces
+    val expect = spark.sql(
+      "SELECT CAST(conv(substring(sha2('hello', 256), 1, 15), 16, 10) AS BIGINT) AS h")
+      .collect().head.getAs[Long]("h")
+    assert(r.getAs[Long]("h") == expect)
+    assert(r.getAs[Int]("mk") == 64 && r.getAs[Int]("mk16") == 16)
+    assert(r.getAs[Long]("ss") >= 0L, "60-bit simhash fits a non-negative long")
+  }
+
   test("SQL model files can use graft functions (end-to-end through the engine)") {
     GraftFunctions.register(spark)
     import spark.implicits._
