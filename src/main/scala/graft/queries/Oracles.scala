@@ -341,6 +341,23 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // the try-family's NULLs reproduced with explicit CASE guards
+    "q53_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount = 0 THEN NULL
+        |       ELSE round(l_quantity / l_discount, 6) END AS qty_per_disc,
+        |  CASE WHEN l_orderkey >= 2 THEN NULL
+        |       ELSE l_orderkey * 9223372036854775807 END AS overflow_probe
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q54_listagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // oracle = the PLAIN semi-join: proves the bloom pre-filter changes
     // the plan, never the result
     "q52_bloom_semi" ->

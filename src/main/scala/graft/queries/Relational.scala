@@ -758,6 +758,38 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q53_try_arith — error-safe arithmetic under ANSI mode (Spark 4's
+    * default, and this engine's): `try_divide` / `try_multiply` return
+    * NULL where strict evaluation would kill the 100 TB job (divide by
+    * zero, long overflow). Row-level semantics preserved in the output;
+    * the oracle reproduces each NULL with explicit CASE guards, proving
+    * the try-family's null contract exactly. [oracle]
+    */
+  def q53_try_arith(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem.selectExpr(
+        "l_orderkey", "l_linenumber",
+        // NULL where discount = 0, IEEE-exact division elsewhere
+        "round(try_divide(l_quantity, l_discount), 6) AS qty_per_disc",
+        // NULL where the multiply overflows long (every orderkey >= 2)
+        "try_multiply(l_orderkey, 9223372036854775807L) AS overflow_probe")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q54_listagg — ordered string aggregation (listagg WITHIN GROUP,
+    * SQL:2016): the distinct statuses per priority as one deterministic
+    * comma-joined string. Spark 4's listagg vs DuckDB's string_agg —
+    * same contract, both ORDER BY'd inside the aggregate so the result
+    * is engine-independent. [oracle]
+    */
+  def q54_listagg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** q52_bloom_semi — the explicit bloom-pre-filtered semi-join: build a
     * bloom filter over the small side's join keys (one aggregate — an
     * O(bits) sketch, no driver collect), broadcast it, pre-filter the
