@@ -682,6 +682,34 @@ object Dedup {
     embedNearDupPairs(Tables(spark, dir).embeddings,
       planes = 8, seed = 7L, maxBucket = EmbedMaxBucket, topN = 100)
 
+  /** d8_embed_clusters — SEMANTIC dedup clusters: connected components
+    * over d5's embedding near-dup pair graph, exactly as d6 clusters
+    * d4's text pairs. The same [[clusterLabelsAuto]] engine serves both
+    * modalities — one component labeler, two candidate generators —
+    * which is the architectural point: near-dup semantics live in the
+    * pair generators, transitive-closure mechanics are shared. Oracle =
+    * recursive-CTE closure over d5's own oracle pairs (composition
+    * proof, like p1/t13). [oracle]
+    */
+  def d8_embed_clusters(spark: SparkSession, dir: String): DataFrame = {
+    val result = clusterLabelsAuto(d5_embed_dup(spark, dir).select("id_a", "id_b"))
+    require(result.converged,
+      s"embedding component labeling did not converge in ${result.rounds} rounds")
+    result.labels
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("keep"))
+      .orderBy("cluster_id", "vec_id")
+  }
+
+  lazy val d8_oracle: String =
+    s"""WITH RECURSIVE pairs AS ($d5_oracle),
+       |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(s, t) AS (SELECT s, s FROM edges
+       |                UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+       |SELECT s AS vec_id, MIN(t) AS cluster_id, (MIN(t) = s) AS keep
+       |FROM reach GROUP BY s ORDER BY cluster_id, vec_id""".stripMargin
+
   /** DuckDB mirror of d5: identical integer hyperplanes → identical
     * buckets, identical [2, EmbedMaxBucket] size guard → identical
     * bucket-local pair set and exact cosines.
