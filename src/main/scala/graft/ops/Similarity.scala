@@ -399,4 +399,137 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Minimum acceptable mean recall@5 of the PQ+rerank path against the
+    * exact s1 baseline (measured 0.90/0.98/0.84 at sf0.001/0.01/0.1;
+    * pinned with headroom).
+    */
+  val PqMinRecall = 0.7
+
+  /** s6_ann_pq — product quantization (Jégou et al., TPAMI 2011,
+    * public) with asymmetric-distance shortlisting and exact reranking:
+    *
+    *   1. TRAIN: split each 64-dim unit vector into M=16 subvectors of 4
+    *      dims; per subspace, k-means with K=16 centroids (deterministic
+    *      init = subvectors of the first 16 docs, 2 distributed Lloyd
+    *      rounds). Driver state is 16×16×4 = 1024 doubles — O(codebook),
+    *      never O(corpus).
+    *   2. ENCODE: each doc compresses to 16 half-byte-ish codes (argmin
+    *      ||subvec − centroid||², via a broadcast join of the 256-row
+    *      codebook — K·M dots per doc, the standard PQ encode cost).
+    *      64 dims × 4 bytes → 16 bytes per doc: the index that fits in
+    *      memory at corpus sizes where raw vectors cannot.
+    *   3. SEARCH: per query, a 256-entry lookup table of subspace dots;
+    *      approximate score = sum of 16 LUT lookups (a join on the CODE
+    *      table only — the full vectors are never read). Top-50
+    *      shortlist per query through the native bounded-heap operator.
+    *   4. RERANK: exact cosine on the ≤50·|Q| shortlisted docs only.
+    *
+    * Codebook means are float-sum shuffle-order-dependent (like s3), so
+    * the driver entry emits the recall INVARIANT vs the exact s1
+    * baseline. [oracle: literal quality contract]
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopKFromUnit(withUnit(Tables(spark, dir).embeddings)
+      .select("vec_id", "unit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The PQ train→encode→ADC-shortlist→rerank pipeline over a
+    * pre-normalized (vec_id, unit) frame; returns exact-reranked top-5
+    * per query with rank (the user-facing ANN result shape).
+    */
+  private def pqTopKFromUnit(unit: DataFrame): DataFrame = {
+    val spark = unit.sparkSession
+    import spark.implicits._
+    val M = 16; val K = 16; val subDim = 4
+    val subvecs = unit.select(col("vec_id"), explode(array((0 until M).map(s =>
+        struct(lit(s).as("sub"), slice(col("unit"), s * subDim + 1, subDim).as("subvec"))
+      ): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def centDf(cent: Map[(Int, Int), Array[Double]]) =
+      broadcast(cent.toSeq.map { case ((s, c), v) =>
+        (s, c, v.toSeq, v.map(x => x * x).sum)
+      }.toDF("sub", "code", "cvec", "cnorm2"))
+
+    // nearest codebook entry per (doc, subspace); ties to lowest code
+    def assign(cents: DataFrame): DataFrame =
+      subvecs.join(cents, Seq("sub"))
+        .withColumn("score", dot(col("subvec"), col("cvec")) - col("cnorm2") * 0.5)
+        .groupBy("vec_id", "sub")
+        .agg(max_by(col("code"), struct(col("score"), -col("code"))).as("code"),
+          first(col("subvec")).as("subvec"))
+
+    // deterministic init: subvectors of docs 0..K-1
+    var cent: Map[(Int, Int), Array[Double]] = subvecs.filter(col("vec_id") < K)
+      .collect().map { r =>
+        (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt) ->
+          r.getSeq[Double](2).toArray
+      }.toMap
+    for (_ <- 0 until 3) {
+      val means = assign(centDf(cent))
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "v")))
+        .groupBy("sub", "code", "dim").agg(avg("v").as("m"))
+        .collect()
+      val next = scala.collection.mutable.Map(cent.toSeq: _*) // empty clusters keep old centroid
+      means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"))).foreach {
+        case (key, rows) =>
+          val v = new Array[Double](subDim)
+          rows.foreach(r => v(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
+          next(key) = v
+      }
+      cent = next.toMap
+    }
+
+    val codebook = centDf(cent)
+    val codes = assign(codebook).select("vec_id", "sub", "code")
+
+    // per-query 256-entry LUT (10 queries × 16 subs × 16 codes)
+    val lut = subvecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("sub"), col("subvec").as("qsubvec"))
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        dot(col("qsubvec"), col("cvec")).as("partial"))
+
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("partial")).as("approx"))
+    val shortlist = graft.plans.TopKPerGroup
+      .topKPerGroup(adc, Seq("query_id"), Seq(("approx", false), ("vec_id", true)), 50)
+
+    val rerank = shortlist
+      .join(unit, Seq("vec_id"))
+      .join(broadcast(unit.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("unit").as("qunit"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qunit"), col("unit")), 6).as("cosine"))
+    topKPerQuery(rerank, 5)
+  }
+
+  /** s6's driver entry: one normalization pass feeds the exact baseline
+    * and the PQ path; emits the (n_queries, k, recall_ok) contract.
+    */
+  def s6_ann_pq(spark: SparkSession, dir: String): DataFrame = {
+    val unit = withUnit(Tables(spark, dir).embeddings)
+      .select("vec_id", "unit")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = exactTopK(unit).select("query_id", "neighbor_id")
+    val pqTop = pqTopKFromUnit(unit).select("query_id", "neighbor_id")
+    val hits = exact.join(pqTop, Seq("query_id", "neighbor_id"), "left_semi")
+    exact.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        (count(lit(1)) / countDistinct(col("query_id"))).cast("long").as("k"))
+      .join(hits.agg(count(lit(1)).as("n_hits")))
+      .select(
+        col("n_queries"), col("k"),
+        (col("n_hits").cast("double") / (col("n_queries") * col("k"))
+          >= PqMinRecall).as("recall_ok"))
+  }
+
+  /** Invariant oracle for s6: the literal quality contract. */
+  val s6_oracle: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+      |       TRUE AS recall_ok""".stripMargin
 }

@@ -107,4 +107,99 @@ object TimeOps {
       | AND r.rus >= l.lus - 600000000 AND r.rus <= l.lus
       |GROUP BY l.event_id
       |ORDER BY l.event_id""".stripMargin
+
+  /** q55_concurrency — peak concurrent sessions per hour via a
+    * PARTITION-WISE sweep line. The textbook sweep (±1 at interval
+    * boundaries, global running sum) needs a total order over all
+    * boundaries — on Spark that is a single-partition window, the thing
+    * that cannot scale. This operator decomposes it:
+    *
+    *   1. per-hour NET delta (an ordinary groupBy shuffle),
+    *   2. exclusive cumsum of the nets over the per-HOUR aggregate —
+    *      a single-partition window, but over O(hours) rows, not O(data)
+    *      (a century of hours is <1M rows; the frame is bounded by time
+    *      span, never by data volume),
+    *   3. the within-hour sweep as a window PARTITIONED BY hour, then
+    *      peak(h) = offset(h) + max(0, max running-in-hour).
+    *
+    * Interval ends are exclusive at last_event+1µs; same-instant
+    * boundaries order (-1 before +1), and within equal (us, delta) ties
+    * any permutation yields the same prefix-sum multiset, so the peak is
+    * deterministic cross-engine. Sessions are q20/q24's 30-min-gap rule.
+    * [oracle: DuckDB GLOBAL sweep line — the semantics this operator
+    * re-expresses scalably]
+    */
+  def q55_concurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val hourUs = 3600000000L
+    val wUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val sess = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("brk")).over(wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("s_us"), (max(col("us")) + 1L).as("e_us"))
+    val bounds = sess.select(col("s_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("e_us").as("us"), lit(-1L).as("delta")))
+      .withColumn("h", expr(s"us div ${hourUs}L"))
+    val net = bounds.groupBy("h")
+      .agg(sum(col("delta")).as("net"), count(lit(1)).as("n_boundaries"))
+    // exclusive prefix over the per-hour aggregate (tiny by construction)
+    val wh = Window.orderBy(col("h").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val off = net.withColumn("offset", coalesce(sum(col("net")).over(wh), lit(0L)))
+      .select("h", "offset", "n_boundaries")
+    val whh = Window.partitionBy("h").orderBy(col("us").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("run_in_h", sum(col("delta")).over(whh))
+      .groupBy("h").agg(max(col("run_in_h")).as("max_in_h"))
+      .join(broadcast(off), Seq("h"))
+      .select(col("h"),
+        greatest(col("offset"), col("offset") + col("max_in_h")).as("peak_concurrency"),
+        col("n_boundaries"))
+      .orderBy("h")
+  }
+
+  val q55_oracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM seq),
+      |numbered AS (
+      |  SELECT user_id, us,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(us) AS s_us, MAX(us) + 1 AS e_us
+      |  FROM numbered GROUP BY user_id, sid),
+      |b AS (
+      |  SELECT s_us AS us, 1 AS delta FROM sess
+      |  UNION ALL SELECT e_us, -1 FROM sess),
+      |run AS (
+      |  SELECT us // 3600000000 AS h, delta,
+      |    SUM(delta) OVER (ORDER BY us ASC, delta ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM b),
+      |hour AS (
+      |  SELECT h, CAST(MAX(run) AS BIGINT) AS max_run,
+      |    CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+      |    CAST(SUM(delta) AS BIGINT) AS net
+      |  FROM run GROUP BY h),
+      |hoff AS (
+      |  SELECT h, max_run, n_boundaries,
+      |    CAST(COALESCE(SUM(net) OVER (ORDER BY h ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM hour)
+      |SELECT CAST(h AS BIGINT) AS h,
+      |  GREATEST(off, max_run) AS peak_concurrency, n_boundaries
+      |FROM hoff ORDER BY h""".stripMargin
 }

@@ -170,6 +170,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), "exact verify is the semi-join")
   }
 
+  test("q56: 8 constraints cost at most 4 scans (fused per-table aggregates)") {
+    val plan = formatted(graft.ops.DataQuality.q56_dq_suite(spark, sfDir))
+    // 2 scans of orders (fused metrics + RI build side) and 2 of lineitem
+    // (fused metrics + RI probe side) — NOT one scan per constraint
+    assert(nodeCount(plan, "Scan parquet") <= 4,
+      "per-table constraints must share one fused-aggregate scan")
+    assert(plan.contains("LeftSemi"), "referential integrity is a semi-join")
+  }
+
+  test("q55: within-hour sweep windows are partitioned by hour (no global sort of boundaries)") {
+    val plan = formatted(graft.ops.TimeOps.q55_concurrency(spark, sfDir))
+    // the ONLY single-partition exchange allowed is the per-hour offset
+    // cumsum (O(hours) rows, post-aggregate); the boundary-level window
+    // must be hash-partitioned by h
+    assert(plan.contains("hashpartitioning(h"),
+      "boundary sweep must partition by hour")
+  }
+
   test("s5: multi-probe fans out the broadcast query side, corpus bucketed once") {
     val plan = formatted(graft.ops.Similarity.s5_ann_multiprobe(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),

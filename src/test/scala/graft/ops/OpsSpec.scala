@@ -233,6 +233,24 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Boolean]("recall_ok"), s"recall@5 below ${Similarity.IvfMinRecall}")
   }
 
+  test("s6_ann_pq: PQ+rerank recall@5 clears the contract with margin") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1")) {
+      val exact = Similarity.s1_ann_topk(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val pq = Similarity.pqTopK(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = pq.intersect(exact).size.toDouble / exact.size
+      info(s"$sf: PQ recall@5 = $recall")
+      assert(recall >= Similarity.PqMinRecall,
+        s"PQ+rerank recall@5 $recall below ${Similarity.PqMinRecall} at $sf")
+      val row = Similarity.s6_ann_pq(spark, sf).collect().head
+      assert(row.getAs[Long]("n_queries") == 10L)
+      assert(row.getAs[Long]("k") == 5L)
+      assert(row.getAs[Boolean]("recall_ok"))
+    }
+  }
+
   test("s2_ann_lsh returns bucket-local neighbors; nonzero overlap with exact") {
     val exact = Similarity.s1_ann_topk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet

@@ -40,4 +40,46 @@ class TimeOpsSpec extends SparkSpec {
       col("n_sessions") =!= col("q20_sessions") || col("n_events") =!= col("q20_events")
     ).count() == 0)
   }
+
+  /** Independent-implementation cross-check for the partition-wise sweep
+    * line: the spec recomputes peak concurrency with the textbook GLOBAL
+    * running sum (single unpartitioned window — fine at test scale, the
+    * exact thing q55 exists to avoid at 100 TB) and demands row-for-row
+    * agreement.
+    */
+  test("q55 partition-wise sweep equals the global sweep line") {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60 * 1000000
+    val wUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val sess = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid",
+        sum(col("brk")).over(wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("s_us"), (max(col("us")) + 1L).as("e_us"))
+    val bounds = sess.select(col("s_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("e_us").as("us"), lit(-1L).as("delta")))
+    val wg = Window.orderBy(col("us").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val globalPeaks = bounds
+      .withColumn("run", sum(col("delta")).over(wg))
+      .withColumn("h", expr("us div 3600000000"))
+      .groupBy("h")
+      .agg(max(col("run")).as("max_run"), count(lit(1)).as("n_boundaries"),
+        sum(col("delta")).as("net"))
+      .withColumn("off", coalesce(sum(col("net")).over(
+        Window.orderBy(col("h").asc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("h"), greatest(col("off"), col("max_run")).as("peak_concurrency"),
+        col("n_boundaries"))
+
+    val fast = TimeOps.q55_concurrency(spark, sfDir)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(globalPeaks).count() == 0)
+    assert(globalPeaks.exceptAll(fast).count() == 0)
+    // every peak is positive: each hour present has at least one boundary
+    assert(fast.filter(col("peak_concurrency") < 0).count() == 0)
+  }
 }
