@@ -656,13 +656,18 @@ object Dedup {
       embeddings: DataFrame, planes: Int, seed: Long,
       maxBucket: Int, topN: Int): DataFrame = {
     val unit = Similarity.withUnit(embeddings)
-    // bucket counts + both self-join branches read the bucketed frame:
-    // persist the one normalize+hyperplane pass instead of running it 3×
+    // both self-join branches read the bucketed frame: persist the one
+    // normalize+hyperplane pass instead of running it twice
     val bucketed = Similarity.withHyperplaneBucket(unit, planes, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ok = bucketed.groupBy("bucket").count()
-      .filter(col("count").between(2, maxBucket)).select("bucket")
-    val members = bucketed.join(ok, Seq("bucket"), "left_semi")
+    // skew guard as a count-over-bucket window: rides the same
+    // hash-partitioning the self-join shuffles to anyway, instead of a
+    // separate aggregate + semi-join round trip
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val members = bucketed
+      .withColumn("_bcnt", count(lit(1)).over(wB))
+      .filter(col("_bcnt").between(2, maxBucket))
+      .drop("_bcnt")
     members.as("l")
       .join(members.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))

@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational data: iterative algorithms expressed
+  * as DataFrame loops (join → aggregate → checkpoint per round), the
+  * same shape as d6's connected components.
+  *
+  * PageRank here is INTEGER-ARITHMETIC: ranks are micro-units (1e6 =
+  * 1.0), per-edge contributions use floor division, and damping is
+  * `(85 * sum) div 100`. Integer sums are order-independent, so the
+  * result is bit-identical across partitionings, retries, AND engines —
+  * which is what lets an iterative float-free PageRank be hash-checked
+  * against a DuckDB recursive CTE. (Float PageRank is shuffle-order-
+  * dependent and could only carry an invariant oracle.)
+  */
+object GraphOps {
+
+  /** The nation-level trade graph: src = customer's nation, dst =
+    * supplier's nation, weight = lineitem count. The heavy part at scale
+    * is THIS aggregation (two fact joins + groupBy); the iteration then
+    * runs on the contracted graph.
+    */
+  def tradeEdges(t: Tables): DataFrame =
+    t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+        Seq("l_orderkey"))
+      .join(t.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").cast("long").as("src")), Seq("o_custkey"))
+      .join(t.supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").cast("long").as("dst")), Seq("l_suppkey"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** g1_pagerank — 10 rounds of damped weighted PageRank on the trade
+    * graph. Each round is one join + one aggregate on the (src, dst, w)
+    * edge table; `localCheckpoint` cuts the growing lineage (d6's rule
+    * for iterative frames — on a production cluster prefer
+    * `checkpoint(dir)` for executor-loss tolerance). Dangling-node mass
+    * is dropped and absentee nodes keep the base term — both engines
+    * apply the identical integer formula, so ranks hash-match. [oracle:
+    * DuckDB recursive CTE, same integer recurrence]
+    */
+  def g1_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ew = tradeEdges(t)
+      .withColumn("wsum", sum(col("w")).over(Window.partitionBy("src")))
+      .localCheckpoint(true) // contracted graph: tiny, reused every round
+    val nodes = t.nation.select(col("n_nationkey").cast("long").as("nation"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 0 until 10) {
+      val totals = ew.join(ranks, col("src") === col("nation"))
+        .select(col("dst"), expr("(r * w) div wsum").as("term"))
+        .groupBy("dst").agg(sum(col("term")).as("total"))
+      ranks = nodes
+        .join(totals.withColumnRenamed("dst", "nation"), Seq("nation"), "left")
+        .select(col("nation"),
+          (lit(150000L) + expr("(85 * coalesce(total, 0L)) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("nation"), col("r").as("pagerank")).orderBy("nation")
+  }
+
+  val g1_oracle: String =
+    """WITH RECURSIVE
+      |e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |      JOIN customer c ON o.o_custkey = c.c_custkey
+      |      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |      GROUP BY 1, 2),
+      |ew AS (SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS wsum FROM e),
+      |nodes AS (SELECT n_nationkey AS nation FROM nation),
+      |pr AS (
+      |  SELECT 0 AS iter, nation, CAST(1000000 AS BIGINT) AS r FROM nodes
+      |  UNION ALL
+      |  SELECT p.iter + 1, p.nation,
+      |    CAST(150000 + (85 * COALESCE(s.total, 0)) // 100 AS BIGINT) AS r
+      |  FROM pr p LEFT JOIN (
+      |    SELECT ew.dst, SUM((pr2.r * ew.w) // ew.wsum) AS total
+      |    FROM pr pr2 JOIN ew ON ew.src = pr2.nation GROUP BY ew.dst) s
+      |    ON s.dst = p.nation
+      |  WHERE p.iter < 10
+      |)
+      |SELECT CAST(nation AS BIGINT) AS nation, r AS pagerank
+      |FROM pr WHERE iter = 10 ORDER BY nation""".stripMargin
+}
