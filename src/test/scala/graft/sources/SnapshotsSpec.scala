@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot write/read round-trips; time travel pins old versions") {
+    val table = java.nio.file.Files.createTempDirectory("snap_").toString + "/docs"
+    val v0 = Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table)
+    assert(v0 == 0L)
+    val v1 = Snapshots.write(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s"), table)
+    assert(v1 == 1L)
+    assert(Snapshots.currentVersion(table).contains(1L))
+
+    // current read sees v1; pinned read reproduces v0's exact bytes
+    assert(Snapshots.read(spark, table).count() == 3)
+    val old = Snapshots.read(spark, table, Some(0L)).orderBy("id").collect()
+    assert(old.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("vacuum drops only versions behind the retention window") {
+    val table = java.nio.file.Files.createTempDirectory("snapv_").toString + "/t"
+    (0 until 4).foreach(i => Snapshots.write(Seq((i.toLong, i)).toDF("v", "x"), table))
+    val dropped = Snapshots.vacuum(table, keepLast = 2)
+    assert(dropped == Seq(0L, 1L))
+    // retained versions still readable, dropped ones gone
+    assert(Snapshots.read(spark, table, Some(3L)).count() == 1)
+    assert(Snapshots.read(spark, table, Some(2L)).count() == 1)
+    intercept[Exception] { Snapshots.read(spark, table, Some(0L)).count() }
+  }
+
+  test("a failed write never moves the current pointer") {
+    val table = java.nio.file.Files.createTempDirectory("snapf_").toString + "/t"
+    Snapshots.write(Seq((1L, "x")).toDF("id", "s"), table)
+    // simulate a concurrent/stale writer: version dir already exists
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(table, "v=1"))
+    intercept[Exception] {
+      Snapshots.write(Seq((2L, "y")).toDF("id", "s"), table)
+    }
+    assert(Snapshots.currentVersion(table).contains(0L),
+      "pointer must still reference the last COMMITTED version")
+    assert(Snapshots.read(spark, table).count() == 1)
+  }
+}
