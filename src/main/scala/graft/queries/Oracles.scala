@@ -367,6 +367,38 @@ object Oracles {
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
 
+    "q59_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |  FROM c),
+        |top AS (
+        |  SELECT l_suppkey, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, l_suppkey ASC) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT rank, l_suppkey, cnt,
+        |  (cnt * 1000000) // n_rows AS share_ppm,
+        |  n_keys, max_cnt,
+        |  (max_cnt * n_keys + n_rows - 1) // n_rows AS salt_factor
+        |FROM top, s WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "q58_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    ((us // 900000000) - k) * 900000000 AS ws
+        |  FROM e, (SELECT unnest(range(0, 4)) AS k))
+        |SELECT ws, event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS total
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin,
+
     "q51_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, value

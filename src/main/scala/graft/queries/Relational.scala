@@ -442,6 +442,49 @@ object Relational {
       .windowedAgg(Tables(spark, dir).events)
       .orderBy("window_start", "event_type")
 
+  /** q58_sliding_window — OVERLAPPING time windows (1 h length, 15 min
+    * slide): each event contributes to exactly 4 windows. Spark's
+    * `window()` plans this as a narrow ×4 Expand before the aggregate —
+    * partial aggregation still applies, so the shuffle carries window
+    * aggregates, not the ×4 event fan-out. The sliding shape q21's
+    * tumbling windows can't express (and the same operator Structured
+    * Streaming uses for sliding-window aggs). [oracle: explicit k=0..3
+    * window-start enumeration]
+    */
+  def q58_sliding_window(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), money(col("value")).as("total"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("ws", "event_type")
+
+  /** q59_skew_report — join-key skew DIAGNOSIS (the analysis side of
+    * q35's salting remedy): per-key counts, the top-5 heaviest keys with
+    * parts-per-million share, and the recommended salt factor
+    * ceil(max_cnt / avg_cnt) — all integer arithmetic, so the report is
+    * engine-exact. Shape: one groupBy (partial-aggregated), a k=5
+    * bounded top-k (TakeOrderedAndProject — no global sort), and a
+    * broadcast of the 1-row stats. This is the pre-flight check a 100 TB
+    * join runs BEFORE choosing plain/salted/AQE-skew execution. [oracle]
+    */
+  def q59_skew_report(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).lineitem
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("l_suppkey").asc).limit(5)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("l_suppkey").asc)).cast("long"))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("l_suppkey"), col("cnt"),
+        expr("(cnt * 1000000) div n_rows").as("share_ppm"),
+        col("n_keys"), col("max_cnt"),
+        expr("(max_cnt * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+      .orderBy("rank")
+  }
+
   /** q30_cube — full CUBE grouping sets with grouping_id: every
     * (status × priority) margin in one pass. Spark plans this as a single
     * Expand + hash aggregate — rows ×4, still one shuffle (the grouping-

@@ -33,7 +33,9 @@ class EmptyInputSpec extends SparkSpec {
       "d1_dedup_exact", "d2_dedup_minhash", "d4_ngram_jaccard",
       "d7_dedup_editdist", "s1_ann_topk", "s2_ann_lsh",
       "t2_quality", "t8_vocab", "t15_stratified_sample", "t16_lm_surprisal",
-      "t17_domain_mix", "m2_media_stats", "m3_frame_sample")
+      "t17_domain_mix", "m2_media_stats", "m3_frame_sample",
+      "q55_concurrency", "q57_zorder", "q58_sliding_window",
+      "q59_skew_report", "g1_pagerank")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()

@@ -84,6 +84,29 @@ class PropertySpec extends SparkSpec {
     }, minTests = 8)
   }
 
+  test("zorder: interleave/deinterleave identity and locality on random coordinates") {
+    import spark.implicits._
+    val genPts = for {
+      n <- Gen.choose(1, 40)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.choose(0L, 65535L)
+        y <- Gen.choose(0L, 65535L)
+      } yield (x, y))
+    } yield pts
+    checkProp(forAll(genPts) { pts =>
+      val rows = pts.toDF("x", "y")
+        .withColumn("z", graft.ops.LayoutOps.zorder16(col("x"), col("y")))
+        .collect()
+      rows.forall { r =>
+        val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        // deinterleave: even bits rebuild x, odd bits rebuild y
+        val xBack = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        val yBack = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        xBack == x && yBack == y && z >= 0 && z < (1L << 32)
+      }
+    }, minTests = 20)
+  }
+
   test("selector: +m+ always equals the union of +m and m+ on random DAGs") {
     val genDag: Gen[Map[String, Seq[String]]] = Gen.choose(2, 10).flatMap { n =>
       val names = (0 until n).map(i => s"m$i")
