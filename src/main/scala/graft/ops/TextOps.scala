@@ -360,4 +360,58 @@ object TextOps {
        |FROM notes
        |ORDER BY c_custkey""".stripMargin
   }
+
+  /** t18_boilerplate — corpus-level repeated-span removal (the CCNet /
+    * RefinedWeb boilerplate pass): documents split into fixed 4-token
+    * chunks; a chunk occurring in ≥3 DISTINCT documents is boilerplate
+    * (navigation, headers, license blocks — text that repeats across
+    * pages is noise for training). Emits the per-document report
+    * (chunks, boilerplate chunks, tokens kept).
+    *
+    * Shape: one narrow chunking pass, a chunk-frequency aggregate
+    * (partial-agg'd; the ≥3-docs filter shrinks it to the boilerplate
+    * set, which is tiny relative to the corpus by construction), one
+    * join back on chunk text, one per-doc aggregate. No pairwise doc
+    * comparison anywhere — cost is linear in corpus size. [oracle]
+    */
+  def t18_boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val cs = 4
+    val minDocs = 3
+    val chunks = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), expr(s"(size(t) - 1) div $cs"))).as("k"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("t"), col("k") * cs + 1, lit(cs))).as("chunk"),
+        size(slice(col("t"), col("k") * cs + 1, lit(cs))).cast("long").as("ctoks"))
+    val boiler = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("chunk"), lit(1L).as("bf"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("bf"), lit(0L))).as("n_boiler"),
+        sum(when(col("bf").isNull, col("ctoks")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("doc_id")
+  }
+
+  val t18_oracle: String =
+    """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      |ch AS (
+      |  SELECT doc_id,
+      |    array_to_string(t[k*4+1 : k*4+4], ' ') AS chunk,
+      |    len(t[k*4+1 : k*4+4]) AS ctoks
+      |  FROM tok, (SELECT unnest(range(0, 1000)) AS k) WHERE k*4 < len(t)),
+      |b AS (
+      |  SELECT chunk FROM ch GROUP BY chunk
+      |  HAVING COUNT(DISTINCT doc_id) >= 3),
+      |fl AS (
+      |  SELECT ch.doc_id, ch.ctoks,
+      |    CASE WHEN b.chunk IS NULL THEN 0 ELSE 1 END AS bf
+      |  FROM ch LEFT JOIN b ON b.chunk = ch.chunk)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(bf) AS BIGINT) AS n_boiler,
+      |  CAST(SUM(CASE WHEN bf = 0 THEN ctoks ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

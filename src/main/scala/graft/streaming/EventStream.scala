@@ -42,6 +42,23 @@ object EventStream {
   def windowedStream(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "2 hours"))
 
+  /** SLIDING 1 h / 15 min window × event_type aggregate (q58's batch
+    * semantics): each event belongs to 4 overlapping windows — state is
+    * ×4, which is why the watermark matters more here than for tumbling.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 4))), 2).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming sliding windows with watermark-bounded ×4 state. */
+  def slidingStream(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "2 hours"))
+
   /** Custom keyed state: running per-user event counts/value via
     * mapGroupsWithState with idle-state timeout (update-mode output).
     */

@@ -33,6 +33,25 @@ class EventStreamSpec extends SparkSpec {
     assert(batch.length == 3)
   }
 
+  test("sliding windows over a stream equal the batch transform; x4 membership") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UserEvent]
+    stream.addData(rows: _*)
+    val q = EventStream.slidingStream(stream.toDF())
+      .writeStream.format("memory").queryName("slide_complete")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slide_complete")
+      .orderBy("window_start", "event_type").collect()
+    val batch = EventStream.slidingAgg(rows.toDF())
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    // every event lands in exactly 4 overlapping windows
+    assert(batch.map(_.getAs[Long]("n_events")).sum == rows.length * 4L)
+  }
+
   test("append mode + watermark emits only watermark-closed windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
