@@ -51,7 +51,7 @@ object GraphOps {
     val nodes = t.nation.select(col("n_nationkey").cast("long").as("nation"))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 0 until 10) {
+    for (i <- 0 until 10) {
       val totals = ew.join(ranks, col("src") === col("nation"))
         .select(col("dst"), expr("(r * w) div wsum").as("term"))
         .groupBy("dst").agg(sum(col("term")).as("total"))
@@ -59,7 +59,9 @@ object GraphOps {
         .join(totals.withColumnRenamed("dst", "nation"), Seq("nation"), "left")
         .select(col("nation"),
           (lit(150000L) + expr("(85 * coalesce(total, 0L)) div 100")).as("r"))
-        .localCheckpoint(true)
+      // checkpoint every 3rd round: plan depth stays bounded without
+      // paying a materialization job per iteration
+      if (i % 3 == 2 || i == 9) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("nation"), col("r").as("pagerank")).orderBy("nation")
   }

@@ -368,11 +368,12 @@ object TextOps {
     * pages is noise for training). Emits the per-document report
     * (chunks, boilerplate chunks, tokens kept).
     *
-    * Shape: one narrow chunking pass, a chunk-frequency aggregate
-    * (partial-agg'd; the ≥3-docs filter shrinks it to the boilerplate
-    * set, which is tiny relative to the corpus by construction), one
-    * join back on chunk text, one per-doc aggregate. No pairwise doc
-    * comparison anywhere — cost is linear in corpus size. [oracle]
+    * Shape: the narrow chunking map runs twice (feeding the frequency
+    * aggregate, then the join-back) — recomputing a narrow explode is
+    * cheaper than caching the ×n_chunks exploded frame (the
+    * persist-the-compact-frame rule); the ≥3-docs filter shrinks the
+    * frequency table to the boilerplate set before the join. No pairwise
+    * doc comparison anywhere — cost is linear in corpus size. [oracle]
     */
   def t18_boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val cs = 4

@@ -367,6 +367,15 @@ object Oracles {
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
 
+    "q60_variant" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_user,
+        |  CAST(0 AS BIGINT) AS n_miss,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q59_skew_report" ->
       """WITH c AS (
         |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -459,6 +459,31 @@ object Relational {
         col("n"), col("total"))
       .orderBy("ws", "event_type")
 
+  /** q60_variant — Spark 4's VARIANT type: semi-structured data parsed
+    * once into the binary variant encoding (`parse_json`), then
+    * navigated with TYPED paths (`variant_get(v, '$.p.k', 'long')`) —
+    * shredded access without a fixed schema, the engine-native answer to
+    * schemaless JSON at scale (no per-access string re-parsing, unlike
+    * get_json_object chains). `try_variant_get` pins the missing-path
+    * NULL contract. The oracle computes the same result from the raw
+    * JSON/base columns — proving variant navigation changes the
+    * representation, never the semantics (q49's map-free-oracle
+    * pattern). [oracle]
+    */
+  def q60_variant(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("vj", concat(lit("{\"p\": "), col("props"),
+        lit(", \"user\": "), col("user_id").cast("string"), lit("}")))
+      .withColumn("v", parse_json(col("vj")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.p.k', 'long')").as("k"),
+        expr("variant_get(v, '$.user', 'long')").as("u"),
+        expr("try_variant_get(v, '$.absent', 'long')").as("miss"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), sum(col("u")).as("sum_user"),
+        count(col("miss")).as("n_miss"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** q59_skew_report — join-key skew DIAGNOSIS (the analysis side of
     * q35's salting remedy): per-key counts, the top-5 heaviest keys with
     * parts-per-million share, and the recommended salt factor

@@ -35,7 +35,7 @@ class EmptyInputSpec extends SparkSpec {
       "t2_quality", "t8_vocab", "t15_stratified_sample", "t16_lm_surprisal",
       "t17_domain_mix", "m2_media_stats", "m3_frame_sample",
       "q55_concurrency", "q57_zorder", "q58_sliding_window",
-      "q59_skew_report", "g1_pagerank")
+      "q59_skew_report", "q60_variant", "g1_pagerank", "t18_boilerplate")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()
