@@ -367,6 +367,35 @@ object Oracles {
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
 
+    "q61_temporal_join" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS prev_type
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_id, event_type, us FROM seq
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |dim AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    event_type AS dim_type,
+        |    us AS valid_from_us,
+        |    LEAD(us, 1) OVER w AS valid_to_us
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+        |facts AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events)
+        |SELECT f.user_id, d.dim_type,
+        |  COUNT(*) AS n_events, MAX(d.version) AS max_version
+        |FROM facts f JOIN dim d ON d.user_id = f.user_id
+        |WHERE f.us >= d.valid_from_us
+        |  AND (d.valid_to_us IS NULL OR f.us < d.valid_to_us)
+        |GROUP BY f.user_id, d.dim_type
+        |ORDER BY f.user_id, d.dim_type""".stripMargin,
+
     "q60_variant" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -459,6 +459,30 @@ object Relational {
         col("n"), col("total"))
       .orderBy("ws", "event_type")
 
+  /** q61_temporal_join — point-in-interval join against the SCD2
+    * dimension q48 builds: each event is enriched with the dimension
+    * VERSION that was valid at the event's timestamp
+    * (valid_from ≤ ts < valid_to, open interval = current). The standard
+    * "fact joins dimension as-of event time" warehouse pattern. Shape:
+    * an equi-join on the entity key plus the interval filter — correct
+    * and scalable because SCD2 guarantees O(versions-per-key) matches,
+    * never a cross product; versions-per-event is then aggregated to
+    * keep the output compact. [oracle]
+    */
+  def q61_temporal_join(spark: SparkSession, dir: String): DataFrame = {
+    val dim = q48_scd2(spark, dir)
+      .select(col("user_id"), col("version"), col("event_type").as("dim_type"),
+        col("valid_from_us"), col("valid_to_us"))
+    val facts = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    facts.join(dim, Seq("user_id"))
+      .filter(col("us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+      .groupBy("user_id", "dim_type")
+      .agg(count(lit(1)).as("n_events"), max(col("version")).as("max_version"))
+      .orderBy("user_id", "dim_type")
+  }
+
   /** q60_variant — Spark 4's VARIANT type: semi-structured data parsed
     * once into the binary variant encoding (`parse_json`), then
     * navigated with TYPED paths (`variant_get(v, '$.p.k', 'long')`) —

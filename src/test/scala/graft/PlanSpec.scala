@@ -188,6 +188,31 @@ class PlanSpec extends SparkSpec {
       "boundary sweep must partition by hour")
   }
 
+  test("q58: sliding windows are one Expand + partial agg, not 4 scans") {
+    val plan = formatted(Relational.q58_sliding_window(spark, sfDir))
+    assert(nodeCount(plan, "Expand") == 1,
+      "x4 window membership must be a single narrow Expand")
+    assert(nodeCount(plan, "Scan parquet") == 1)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "aggregation must be partial before the shuffle")
+  }
+
+  test("q61: temporal join is an equi-join on the entity key, never a cross product") {
+    val plan = formatted(Relational.q61_temporal_join(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "interval filter must ride the user_id equi-join")
+  }
+
+  test("t18: boilerplate set is df-filtered BEFORE the join back") {
+    val plan = formatted(graft.ops.TextOps.t18_boilerplate(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    // the >= minDocs filter must sit on the aggregate side of the join,
+    // shrinking the build input (visible as a Filter over the distinct
+    // count, not over the joined result)
+    assert(plan.contains("ndocs"), "frequency filter must exist in the plan")
+  }
+
   test("s5: multi-probe fans out the broadcast query side, corpus bucketed once") {
     val plan = formatted(graft.ops.Similarity.s5_ann_multiprobe(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
