@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   *   runMain graft.GraftCli check|run|run-incremental|test|docs
   *     [--project <dir>]      directory containing powersql.toml (default .)
-  *     [--data <dir>]         parquet table dir to register as sources
+  *     [--data <dir>]         parquet table dir; only sources the DAG +
+  *                            tests actually reference are registered
   *     [--warehouse <dir>]    materialization target (default <project>/wh)
   *     [--fail-fast]          stop tests at first failure
   *     [--select <expr>]      dbt-style graph selector for run/run-incremental:
@@ -32,10 +33,9 @@ object GraftCli {
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val projectDir = flag("--project").getOrElse(".")
     val spark = GraftSession.getOrCreate("graft-cli")
-    flag("--data").foreach(d => Tables(spark, d).registerAll())
     val code = execute(spark, cmd, projectDir,
       flag("--warehouse").getOrElse(s"$projectDir/wh"),
-      args.contains("--fail-fast"), flag("--select"))
+      args.contains("--fail-fast"), flag("--select"), flag("--data"))
     spark.stop()
     if (code != 0) sys.exit(code)
   }
@@ -43,7 +43,8 @@ object GraftCli {
   /** Testable core: returns the process exit code. */
   def execute(spark: SparkSession, cmd: String, projectDir: String,
               warehouse: String, failFast: Boolean,
-              select: Option[String] = None): Int = {
+              select: Option[String] = None,
+              dataDir: Option[String] = None): Int = {
     val project = Project.load(s"$projectDir/powersql.toml")
     def resolve(dirs: Seq[String]) = dirs.map { d =>
       if (new java.io.File(d).isAbsolute) d else s"$projectDir/$d"
@@ -51,6 +52,18 @@ object GraftCli {
     val allModels = resolve(project.models).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseModelFile)
     val tests = resolve(project.tests).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseTestFile)
     val engine = new ModelEngine(spark)
+
+    // register only the source tables the project's DAG + tests actually
+    // reference — registration costs a file listing + footer read per
+    // table, pure waste for sources a 2-model project never touches
+    dataDir.foreach { d =>
+      val referenced = (allModels.map(_.query) ++
+          tests.map(t => s"SELECT (${t.condition})"))
+        .flatMap(q => engine.references(q)).toSet
+      val modelNames = allModels.map(_.name).toSet
+      val needed = (referenced -- modelNames).intersect(Tables.SourceNames.toSet)
+      Tables(spark, d).register(needed)
+    }
 
     // graph selection: build only the selected slice; everything outside
     // it re-attaches from its already-materialized warehouse state (so

@@ -72,11 +72,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** Register all tables as temp views for SQL-surface entry points. */
-  def registerAll(): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "documents", "embeddings")
-      .foreach(n => t(n).createOrReplaceTempView(n))
-    events.createOrReplaceTempView("events")
+  /** Register a subset of tables as temp views. Registration reads each
+    * table's parquet footers for the schema — at 100 TB that is a file
+    * listing per table — so callers that know their reference set (the
+    * model engine does, from the parsed DAG) should register only that.
+    */
+  def register(names: Iterable[String]): Unit = names.foreach {
+    case "events" => events.createOrReplaceTempView("events")
+    case n => t(n).createOrReplaceTempView(n)
   }
+
+  /** Register all tables as temp views for SQL-surface entry points. */
+  def registerAll(): Unit = register(Tables.SourceNames)
+}
+
+object Tables {
+  /** The driver-generated source tables (TESTDATA.md). */
+  val SourceNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
 }

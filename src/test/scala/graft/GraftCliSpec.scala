@@ -93,6 +93,18 @@ class GraftCliSpec extends SparkSpec {
     }
   }
 
+  test("--data registers only the sources the DAG + tests reference") {
+    // fresh view namespace so registration effects are observable
+    Tables.SourceNames.foreach(n => spark.catalog.dropTempView(n))
+    assert(GraftCli.execute(spark, "run", projectDir, s"$projectDir/wh2",
+      failFast = false, dataDir = Some(sfDir)) == 0)
+    // the project touches orders only
+    assert(spark.catalog.tableExists("orders"))
+    assert(!spark.catalog.tableExists("lineitem"),
+      "unreferenced sources must not be registered (footer reads cost at scale)")
+    assert(!spark.catalog.tableExists("events"))
+  }
+
   test("Selector.expand handles +m, m+, +m+ and comma unions over the DAG") {
     val deps = Map(
       "base" -> Seq.empty[String], "mid" -> Seq("base"),
