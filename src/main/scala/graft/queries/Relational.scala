@@ -459,6 +459,28 @@ object Relational {
         col("n"), col("total"))
       .orderBy("ws", "event_type")
 
+  /** q62_lateral — correlated LATERAL subquery with ORDER BY + LIMIT
+    * (top-2 customers per nation): the SQL-standard per-row-subquery
+    * form of top-k-per-group. ONE text runs verbatim on Spark and DuckDB
+    * (q41/q47's frontend-parity discipline). Catalyst DECORRELATES the
+    * lateral into a join + per-group limit — the executed plan is the
+    * same bounded-k shape as q42's native operator, never an actual
+    * per-outer-row subquery execution (the thing that cannot scale).
+    */
+  def q62_lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.sql(LATERAL_TEXT)
+  }
+
+  /** Runs unchanged on Spark AND DuckDB. */
+  val LATERAL_TEXT: String =
+    """SELECT n.n_name, c.c_name, c.c_acctbal
+      |FROM nation n CROSS JOIN LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n.n_name ASC, c.c_acctbal DESC, c.c_name ASC""".stripMargin
+
   /** q61_temporal_join — point-in-interval join against the SCD2
     * dimension q48 builds: each event is enriched with the dimension
     * VERSION that was valid at the event's timestamp
