@@ -26,6 +26,17 @@ import re
 import sys
 
 
+def short_id(name):
+    """Canonical entry id: the prefix before the first underscore.
+
+    Round ≤3 artifacts carry full names ("q4_join_shuffle"); round ≥4
+    stdout lines carry short ids ("q4") so the whole line fits the
+    driver's bounded tail. The prefix is unique across the suite, so
+    canonicalizing both sides makes every artifact shape comparable.
+    """
+    return name.split("_", 1)[0]
+
+
 def load_queries(path):
     text = open(path).read()
     try:
@@ -33,7 +44,8 @@ def load_queries(path):
     except json.JSONDecodeError:
         doc = {"tail": text}
     if isinstance(doc, dict) and "queries" in doc:
-        return doc["queries"], float(doc.get("value", sum(doc["queries"].values())))
+        qs = {short_id(k): v for k, v in doc["queries"].items()}
+        return qs, float(doc.get("value", sum(qs.values())))
     # driver artifact: the bench line lives (possibly truncated) in "tail"
     tail = doc.get("tail", "") if isinstance(doc, dict) else ""
     m = re.search(r'"queries":\{([^}]*)\}', tail)
@@ -45,7 +57,7 @@ def load_queries(path):
         body = tail
     for name, sec in re.findall(r'"([a-z]\w+)":([0-9.]+)', body):
         if name not in ("value", "sf", "n", "rc", "cpus"):
-            pairs[name] = float(sec)
+            pairs[short_id(name)] = float(sec)
     tm = re.search(r'"metric":"total","value":([0-9.]+)', tail)
     total = float(tm.group(1)) if tm else sum(pairs.values())
     if not pairs:

@@ -76,6 +76,19 @@ object GraftCli {
         // only the selection's UPSTREAM closure needs re-attaching —
         // unselected descendants are not referenced by anything we build
         val needed = Selector.expand(deps, keep.map("+" + _).mkString(",")) -- keep
+        // fail fast when an upstream TABLE model was never materialized:
+        // silently skipping it would surface later as a raw
+        // TABLE_OR_VIEW_NOT_FOUND from analysis with no hint at the cause
+        val missing = allModels.collect {
+          case TableModel(n, _) if needed(n) &&
+            !new java.io.File(warehouse, n).exists() => n
+        }
+        if (missing.nonEmpty) {
+          System.err.println(
+            s"--select needs upstream model(s) ${missing.mkString(", ")} " +
+              s"materialized in $warehouse; run without --select first")
+          return 1
+        }
         engine.registerWarehouse(allModels.filter(m => needed(m.name)), warehouse)
         allModels.filter(m => keep(m.name))
     }

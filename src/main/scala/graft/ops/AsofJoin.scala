@@ -102,4 +102,32 @@ object Skew {
           salted(skewedKey) === replicated(otherKey))
       .drop("_salt")
   }
+
+  /** Advisor-driven salting: measures the skewed side's key distribution
+    * and applies [[saltedJoin]] with the salt factor q59's skew report
+    * recommends — ceil(max_cnt / avg_cnt), capped at `maxFactor` (the
+    * replication cost ceiling). Factor ≤ 1 (no skew) degrades to the
+    * plain join with zero overhead. The measurement is one
+    * partial-aggregated groupBy collapsed to a 1-row collect — the
+    * pre-flight a deliberate 100 TB join pays once, not per row; reuse
+    * the q59 report if it was already run.
+    */
+  def saltedJoinAuto(skewed: DataFrame, other: DataFrame,
+                     skewedKey: String, otherKey: String,
+                     maxFactor: Int = 32): DataFrame = {
+    val row = skewed.groupBy(skewedKey).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      .collect().head
+    val factor =
+      if (row.isNullAt(1) || row.getAs[Long]("n_rows") == 0L) 1
+      else {
+        val nKeys = row.getAs[Long]("n_keys")
+        val nRows = row.getAs[Long]("n_rows")
+        val maxCnt = row.getAs[Long]("max_cnt")
+        math.min(maxFactor.toLong, (maxCnt * nKeys + nRows - 1) / nRows).toInt
+      }
+    if (factor <= 1) skewed.join(other, skewed(skewedKey) === other(otherKey))
+    else saltedJoin(skewed, other, skewedKey, otherKey, factor)
+  }
 }

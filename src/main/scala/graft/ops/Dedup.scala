@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Caching.PersistSyntax
 
 /** Deduplication operators for LLM training corpora (SURVEY §2C).
   *
@@ -55,7 +56,7 @@ object Dedup {
     val exploded = sigDf
       .select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val buckets = exploded.groupBy("band", "bkey").count()
       .filter(col("count").between(2, maxBucket))
       .select("band", "bkey")
@@ -72,7 +73,7 @@ object Dedup {
   private def withJaccard(pairs: DataFrame, shingled: DataFrame): DataFrame = {
     // joined twice (id_a side and id_b side) → persist one computation
     val sh = shingled.select(col("doc_id"), col("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     pairs
       .join(sh.withColumnsRenamed(Map("doc_id" -> "id_a", "shingles" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("doc_id" -> "id_b", "shingles" -> "sh_b")), Seq("id_b"))
@@ -128,7 +129,7 @@ object Dedup {
   def d2_dedup_minhash(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(Tables(spark, dir).documents)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // one narrow codegen pass per doc: sha prefix + 64 slot minima
     // (graft.functions.ShaMinHash) — no explode, no signature shuffle
     val sig = sh.withColumn("sig",
@@ -142,7 +143,7 @@ object Dedup {
     val exploded = sig
       .select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val buckets = exploded.groupBy("band", "bkey").count()
       .filter(col("count").between(2, 100)).select("band", "bkey")
     val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
@@ -250,7 +251,7 @@ object Dedup {
     }: _*)
     val exploded = sim.select(col("doc_id"), col("simhash"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // reused by 4 branches
+      .persistTracked // reused by 4 branches
     val buckets = exploded.groupBy("band", "bkey").count()
       .filter(col("count").between(2, 200)).select("band", "bkey")
     val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
@@ -327,7 +328,7 @@ object Dedup {
   def d4_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = withShingles(Tables(spark, dir).documents)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val rare = inv.groupBy("shingle").count()
       .filter(col("count").between(2, 20)).select("shingle")
@@ -391,7 +392,7 @@ object Dedup {
     // scan→shingle pipeline recomputes for every plan branch (13 s at
     // sf0.1); persisting pre-explode keeps the cached footprint per-doc
     val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val rare = inv.groupBy("shingle").count()
       .filter(col("count").between(2, 20)).select("shingle")
@@ -482,9 +483,9 @@ object Dedup {
     def snapshot(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     val p = pairs.select("id_a", "id_b")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val edges = p.unionAll(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     var labels = p.select(col("id_a").as("doc_id"))
       .unionAll(p.select(col("id_b").as("doc_id")))
       .distinct()
@@ -551,7 +552,7 @@ object Dedup {
     val nodes = pairs.select(col("id_a").as("doc_id"))
       .unionAll(pairs.select(col("id_b").as("doc_id")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // canonical direction child > parent; self-loops dropped
     var edges = snapshot(pairs
       .select(greatest(col("id_a"), col("id_b")).as("child"),
@@ -578,9 +579,13 @@ object Dedup {
       edges = small
       round += 1
     }
+    // one row per node even if the round cap fired mid-contraction (a
+    // non-star edge set can hold several parents per child; min(label)
+    // keeps the frame well-formed for callers that ignore `converged`)
     val labels = nodes.join(edges.select(col("child").as("doc_id"),
         col("parent").as("label")), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("label"), col("doc_id"))).as("label"))
     ClusterResult(labels, converged, round)
   }
 
@@ -659,7 +664,7 @@ object Dedup {
     // both self-join branches read the bucketed frame: persist the one
     // normalize+hyperplane pass instead of running it twice
     val bucketed = Similarity.withHyperplaneBucket(unit, planes, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // skew guard as a count-over-bucket window: rides the same
     // hash-partitioning the self-join shuffles to anyway, instead of a
     // separate aggregate + semi-join round trip

@@ -23,22 +23,71 @@ final case class MediaFeatures(
     checksum: Long,
     feature: Array[Float])     // extracted feature vector
 
-/** Multimodal-column plumbing (SURVEY §2C m1). The real decode step
-  * (libjpeg / ffmpeg / soundfile) is STUBBED — those libraries are not in
-  * this container — but everything Spark-side is real and load-bearing:
-  * the typed schema, the batched partition-wise extraction (the Scala
-  * analogue of `mapInPandas`: one decoder init per partition, streamed
-  * batches, never materializing a partition in memory), and the
-  * downstream aggregation shape.
+/** Multimodal-column plumbing (SURVEY §2C m1). PNG payloads take a REAL
+  * decode path (`javax.imageio` — pure JVM, no native codecs needed);
+  * other formats (jpeg/wav/mp4 need libs absent from this container)
+  * fall back to a clearly-marked deterministic stub. Everything
+  * Spark-side is real and load-bearing either way: the typed schema, the
+  * batched partition-wise extraction (the Scala analogue of
+  * `mapInPandas`: one decoder init per partition, streamed batches,
+  * never materializing a partition in memory), and the downstream
+  * aggregation shape.
   */
 object Multimodal {
 
-  /** STUB decoder. A production build replaces the body with the real
-    * decode + model forward pass; the signature — bytes in, fixed-width
-    * float feature out — is the contract the pipeline is built against.
-    * Deterministic on payload bytes so tests are stable.
+  private def isPng(payload: Array[Byte]): Boolean =
+    payload.length > 8 &&
+      payload(0) == 0x89.toByte && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G'
+
+  /** Real decode for PNG bytes: 8-dim feature =
+    * [width, height, mean R, mean G, mean B, min luma, max luma,
+    * sampled-pixel count]. Pixels are visited on a deterministic stride
+    * capped at ~4096 samples, so the cost per asset is bounded no matter
+    * the resolution (the contract a 100 TB media scan needs — decode
+    * cost must not scale with the largest asset).
+    */
+  private def extractPng(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      val stride = math.max(1L, n / 4096L).toInt
+      var i = 0L; var cnt = 0L
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      var minL = Float.MaxValue; var maxL = Float.MinValue
+      while (i < n) {
+        val rgb = img.getRGB((i % w).toInt, (i / w).toInt)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val luma = (0.299f * r + 0.587f * g + 0.114f * b) / 255.0f
+        if (luma < minL) minL = luma
+        if (luma > maxL) maxL = luma
+        cnt += 1
+        i += stride
+      }
+      val out = new Array[Float](dim)
+      out(0) = w.toFloat; out(1) = h.toFloat
+      out(2) = (sr / cnt / 255.0).toFloat
+      out(3) = (sg / cnt / 255.0).toFloat
+      out(4) = (sb / cnt / 255.0).toFloat
+      out(5) = minL; out(6) = maxL
+      out(7) = cnt.toFloat
+      out
+    }
+
+  /** Decode + feature extraction: PNG payloads decode for real
+    * (`javax.imageio`); everything else is the STUB fold — a production
+    * build swaps that branch for libjpeg/ffmpeg/soundfile handles (init
+    * per partition in [[extractFeatures]]). The signature — bytes in,
+    * fixed-width float feature out — is the contract the pipeline is
+    * built against; both branches are deterministic on payload bytes so
+    * tests are stable.
     */
   private def decodeAndExtract(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+    if (isPng(payload)) extractPng(payload, dim) match {
+      case Some(f) => return f
+      case None    => () // corrupt PNG: fall through to the byte fold
+    }
     val out = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {

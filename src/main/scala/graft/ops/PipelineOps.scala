@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Caching.PersistSyntax
 
 /** Training-data pipeline operators beyond per-document analysis
   * (SURVEY §2C): benchmark decontamination, sequence packing, and
@@ -256,7 +257,7 @@ object PipelineOps {
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"),
         expr(s"CAST(size(${TextOps.TOKENS}) AS BIGINT)").as("ntok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val langOk = TextOps.t1_lang_id(spark, dir)
       .filter(col("lang_pred") === col("lang_declared")).select("doc_id")
     val qualOk = TextOps.t2_quality(spark, dir)

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Caching.PersistSyntax
 
 /** Text-analysis operators for LLM training-data pipelines (SURVEY §2C).
   *
@@ -304,7 +305,7 @@ object TextOps {
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val bigStats = stream.groupBy("bigram").agg(count(lit(1)).as("c_big"))
       .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
     val prefStats = bigStats.groupBy("w1").agg(sum("c_big").cast("long").as("c_pref"))
@@ -403,7 +404,7 @@ object TextOps {
       |  SELECT doc_id,
       |    array_to_string(t[k*4+1 : k*4+4], ' ') AS chunk,
       |    len(t[k*4+1 : k*4+4]) AS ctoks
-      |  FROM tok, (SELECT unnest(range(0, 1000)) AS k) WHERE k*4 < len(t)),
+      |  FROM tok, LATERAL (SELECT unnest(range(0, (len(t) + 3) // 4)) AS k)),
       |b AS (
       |  SELECT chunk FROM ch GROUP BY chunk
       |  HAVING COUNT(DISTINCT doc_id) >= 3),

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Caching.PersistSyntax
 import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 import org.apache.spark.sql.expressions.Window
 
@@ -172,9 +173,9 @@ object Relational {
     // scan+distinct computations once instead of re-running them per
     // branch (6 scans + 6 shuffles → 2 at any scale)
     val cn = t.customer.select(col("c_nationkey").as("nationkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val sn = t.supplier.select(col("s_nationkey").as("nationkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val u = cn.union(sn).distinct().select(lit("union").as("op"), col("nationkey"))
     val i = cn.intersect(sn).select(lit("intersect").as("op"), col("nationkey"))
     val e = cn.except(sn).select(lit("except").as("op"), col("nationkey"))
@@ -480,6 +481,47 @@ object Relational {
       |  WHERE c_nationkey = n.n_nationkey
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
       |ORDER BY n.n_name ASC, c.c_acctbal DESC, c.c_name ASC""".stripMargin
+
+  /** q63_recursive — `WITH RECURSIVE` transitive closure (reachability +
+    * bounded path counting from nation 0 over the high-value trade
+    * graph), ONE text verbatim on Spark 4 and DuckDB — the q41/q47/q62
+    * frontend-parity discipline applied to the last SQL construct the
+    * reference's warehouse backends accept that graft's frontend did not
+    * (the reference pushes model SQL through unparsed, reference:
+    * src/execute.rs:100-103, so a PG-origin PowerSQL project may contain
+    * recursive CTEs). Spark's recursion accepts UNION ALL only, so the
+    * text bounds depth (hops < 3) and deduplicates in the outer
+    * GROUP BY — the portable recursive-CTE shape. All-integer (hop
+    * counts, path counts), so the result hash-matches cross-engine.
+    * Scale shape: the recursive step re-joins only the frontier against
+    * the contracted ≤|nations|² edge table — the heavy work is the
+    * ONE-pass edge aggregation, exactly g1's profile.
+    */
+  def q63_recursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.sql(RECURSIVE_TEXT)
+  }
+
+  /** Runs unchanged on Spark AND DuckDB (recursive UNION ALL). */
+  val RECURSIVE_TEXT: String =
+    """WITH RECURSIVE
+      |edges AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE o.o_totalprice > 400000 AND c.c_nationkey <> s.s_nationkey
+      |),
+      |reach AS (
+      |  SELECT CAST(0 AS BIGINT) AS nation, CAST(0 AS BIGINT) AS hops
+      |  UNION ALL
+      |  SELECT CAST(e.dst AS BIGINT) AS nation, r.hops + 1 AS hops
+      |  FROM reach r JOIN edges e ON e.src = r.nation
+      |  WHERE r.hops < 3
+      |)
+      |SELECT nation, MIN(hops) AS min_hops, CAST(COUNT(*) AS BIGINT) AS n_paths
+      |FROM reach GROUP BY nation ORDER BY nation""".stripMargin
 
   /** q61_temporal_join — point-in-interval join against the SCD2
     * dimension q48 builds: each event is enriched with the dimension

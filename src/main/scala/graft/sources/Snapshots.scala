@@ -20,7 +20,11 @@ import java.nio.charset.StandardCharsets
   * last-writer-wins single-pointer design lakehouse formats grew out
   * of; no lock service is needed because versions are immutable and the
   * pointer swap is a filesystem atomic. On object stores, the atomic
-  * move becomes a conditional put — the protocol holds.
+  * move becomes a conditional put — the protocol holds, but THIS
+  * implementation's manifest I/O is java.nio (local/NFS paths only); a
+  * cluster deployment swaps these ~20 lines for the Hadoop FileSystem
+  * API (create-with-overwrite + rename), the data writes already go
+  * through Spark and need no change.
   */
 object Snapshots {
 
@@ -60,14 +64,21 @@ object Snapshots {
     val cur = currentVersion(table).getOrElse(return Seq.empty)
     val cutoff = cur - keepLast + 1
     val dir = Paths.get(table)
-    val dropped = Files.list(dir).toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(p => p.getFileName.toString.startsWith("v="))
-      .map(p => p.getFileName.toString.stripPrefix("v=").toLong)
-      .filter(_ < cutoff).sorted
+    // Files.list/walk streams hold directory handles — close them
+    // (Using) so repeated vacuums in a long-lived driver don't exhaust
+    // file descriptors
+    val dropped = scala.util.Using.resource(Files.list(dir)) { s =>
+      s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.startsWith("v="))
+        .map(p => p.getFileName.toString.stripPrefix("v=").toLong)
+        .filter(_ < cutoff).sorted
+    }
     dropped.foreach { v =>
       val vdir = Paths.get(table, s"v=$v")
-      Files.walk(vdir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
+      scala.util.Using.resource(Files.walk(vdir)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.delete(p))
+      }
     }
     dropped
   }

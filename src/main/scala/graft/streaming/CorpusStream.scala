@@ -50,8 +50,14 @@ object CorpusStream {
   def incrementalDedupBatch(indexPath: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val withFp = fingerprinted(batch)
+    // existence check through the Hadoop FileSystem API so the index is
+    // found on ANY supported filesystem (hdfs://, s3a://, file:) — a
+    // java.io.File check is local-only and would silently disable
+    // cross-batch dedup on a cluster
+    val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen =
-      if (new java.io.File(indexPath).exists())
+      if (fs.exists(idxPath))
         Some(spark.read.parquet(indexPath)
           .filter(col("batch") =!= batchId).select("fp"))
       else None

@@ -56,6 +56,38 @@ class GraftCliSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$projectDir/tests/failing.sql"))
   }
 
+  test("a .sql model using WITH RECURSIVE runs through the CLI") {
+    // the last frontend-parity hole vs the reference's warehouse
+    // backends (they push model text through unparsed, so PG-origin
+    // projects may contain recursive CTEs): the self-reference inside
+    // the recursion is CTE-shadowed, so it must NOT register as a
+    // dependency edge (no false cycle), and the model must materialize.
+    Tables(spark, sfDir).registerAll()
+    val root = java.nio.file.Files.createTempDirectory("graft_rec_").toString
+    new java.io.File(s"$root/models").mkdirs()
+    new java.io.File(s"$root/tests").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/powersql.toml"),
+      "[project]\nname = \"rec\"\nmodels = [\"models\"]\ntests = [\"tests\"]\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/models/reach.sql"),
+      """CREATE TABLE nation_reach AS
+        |WITH RECURSIVE hops AS (
+        |  SELECT CAST(0 AS BIGINT) AS nation, CAST(0 AS BIGINT) AS hops
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT) AS nation, h.hops + 1 AS hops
+        |  FROM hops h JOIN nation n ON n.n_regionkey = h.nation
+        |  WHERE h.hops < 2
+        |)
+        |SELECT nation, MIN(hops) AS min_hops FROM hops GROUP BY nation;
+        |CREATE TABLE reach_count AS
+        |SELECT COUNT(*) AS n FROM nation_reach;
+        |""".stripMargin)
+    assert(GraftCli.execute(spark, "check", root, s"$root/wh", failFast = false) == 0)
+    assert(GraftCli.execute(spark, "run", root, s"$root/wh", failFast = false) == 0)
+    assert(new java.io.File(s"$root/wh/nation_reach").exists())
+    val n = spark.read.parquet(s"$root/wh/nation_reach").count()
+    assert(n > 1, s"recursive model should reach beyond the seed row, got $n")
+  }
+
   test("unknown command rejected") {
     assert(GraftCli.execute(spark, "explode", projectDir, "/tmp/x", failFast = false) == 2)
   }

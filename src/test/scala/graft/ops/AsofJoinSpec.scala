@@ -61,6 +61,31 @@ class SkewSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
   }
+
+  test("saltedJoinAuto: advisor picks a salt factor on a skewed key and preserves the join") {
+    import spark.implicits._
+    // synthetic skew: one key holds half the fact rows
+    val fact = ((1L to 500L).map(i => (0L, i)) ++
+      (1L to 500L).map(i => (i % 50 + 1, i + 1000))).toDF("k", "payload")
+    val dim = (0L to 50L).map(i => (i, s"dim_$i")).toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "payload", "name")
+    val auto = Skew.saltedJoinAuto(fact, dim, "k", "dk")
+      .select("k", "payload", "name")
+    assert(auto.count() == plain.count())
+    assert(auto.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(auto).count() == 0)
+    // the report math itself: max_cnt=500, n_keys=51, n_rows=1000 →
+    // ceil(500*51/1000) = 26 — genuinely salted, not the factor-1 path
+    assert(auto.queryExecution.analyzed.toString().contains("_salt"),
+      "skewed input must take the salted path")
+
+    // uniform key → factor 1 → plain join (no salt column in the plan)
+    val uniform = (1L to 100L).map(i => (i % 50, i)).toDF("k", "payload")
+    val autoU = Skew.saltedJoinAuto(uniform, dim, "k", "dk")
+    assert(!autoU.queryExecution.analyzed.toString().contains("_salt"))
+    assert(autoU.count() == uniform.join(dim, col("k") === col("dk")).count())
+  }
 }
 
 class IncrementalRunSpec extends SparkSpec {

@@ -280,4 +280,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.m1_multimodal(spark, sfDir).columns.toSeq ==
       Seq("doc_id", "modality", "n_bytes", "feat_dim"))
   }
+
+  test("m1 real decode: PNG payloads decode through javax.imageio inside the partition contract") {
+    import spark.implicits._
+    // synthesize real PNGs of known size/color entirely in-JVM
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", png(17, 9, 0xff0000), 17, 9, 0),    // pure red
+      MediaRow(2L, "image", png(64, 32, 0x00ff00), 64, 32, 0),  // pure green
+      MediaRow(3L, "image", png(8, 8, 0x4080c0), 8, 8, 0),      // mixed
+      MediaRow(4L, "audio", "not a png".getBytes("UTF-8"), 0, 0, 16000)) // stub fallback
+    val feats = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().map(f => f.doc_id -> f).toMap
+    // decoded dimensions must come from the PNG bytes themselves and
+    // match the metadata columns
+    for (r <- rows.take(3)) {
+      val f = feats(r.doc_id).feature
+      assert(f(0) == r.width.toFloat && f(1) == r.height.toFloat,
+        s"doc ${r.doc_id}: decoded ${f(0)}x${f(1)} != metadata ${r.width}x${r.height}")
+    }
+    // channel means: pure red → meanR≈1, meanG≈0; pure green inverse
+    assert(feats(1L).feature(2) > 0.99f && feats(1L).feature(3) < 0.01f)
+    assert(feats(2L).feature(2) < 0.01f && feats(2L).feature(3) > 0.99f)
+    // uniform image → min luma == max luma
+    assert(feats(3L).feature(5) == feats(3L).feature(6))
+    // non-PNG payload takes the deterministic stub fold, never crashes
+    assert(feats(4L).feature.length == 8)
+    assert(feats(4L).n_bytes == 9L)
+  }
 }
