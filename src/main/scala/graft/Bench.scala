@@ -48,20 +48,27 @@ object Bench {
     // included, no cross-query block-manager pressure skewing the tail of
     // the alphabet).
     spark.catalog.clearCache()
-    // ContextCleaner reclaims broadcast variables / shuffle files only
-    // when the driver JVM actually GCs — with a large heap and 105
-    // back-to-back entries in one JVM, that may never happen on its own,
-    // and the accumulated block-manager state is the leading suspect for
-    // entries that time flat in a short local run but regress in the
-    // driver's full sequential run. Forcing a GC between timed entries
-    // makes cleanup deterministic.
-    System.gc()
+    // ContextCleaner reclaims broadcasts / shuffle files / checkpointed
+    // RDDs only when the driver JVM actually GCs — with a large heap and
+    // 106 back-to-back entries in one JVM that may never happen, and the
+    // accumulated block-manager state is the leading suspect for entries
+    // that time flat in a short local run but regress in the driver's
+    // full sequential run. Force the GC between entries, then give the
+    // cleaner's ASYNC work (RPC + shuffle-file deletes) a beat to drain
+    // so it doesn't overlap — and tax — the next timed entry.
+    // SPARK_GRAFT_BENCH_GC=0 disables (for A/B-ing the GC's own effect)
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0"
+    def reclaim(): Unit = if (gcBetween) {
+      System.gc()
+      Thread.sleep(150)
+    }
+    reclaim()
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      System.gc()
+      reclaim()
       name -> dt
     }
     def fmt(v: Double, dec: Int): String =

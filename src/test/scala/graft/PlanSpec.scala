@@ -140,6 +140,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q63: recursion re-joins only the frontier against the contracted edge table") {
+    val plan = formatted(Relational.q63_recursive(spark, sfDir))
+    // the recursive step must be a real UnionLoop execution, and the
+    // per-iteration join must never degenerate into a cross product
+    assert(plan.contains("UnionLoop") || plan.contains("Recursion") ||
+      plan.contains("CTERelation"), "recursive CTE must plan as an iterative union")
+    assert(!plan.contains("CartesianProduct"))
+    // edge aggregation (the heavy part) carries DISTINCT partial-agg:
+    // the fact joins collapse to <=|nations|^2 rows before the loop
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("q46: explicit grouping sets plan one Expand over one scan") {
     val plan = formatted(Relational.q46_grouping_sets(spark, sfDir))
     assert(nodeCount(plan, "Expand") == 1 && nodeCount(plan, "Scan parquet") == 1)
