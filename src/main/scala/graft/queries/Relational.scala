@@ -493,9 +493,16 @@ object Relational {
     * text bounds depth (hops < 3) and deduplicates in the outer
     * GROUP BY — the portable recursive-CTE shape. All-integer (hop
     * counts, path counts), so the result hash-matches cross-engine.
-    * Scale shape: the recursive step re-joins only the frontier against
-    * the contracted ≤|nations|² edge table — the heavy work is the
-    * ONE-pass edge aggregation, exactly g1's profile.
+    * Scale shape, MEASURED: Spark inlines a non-recursive CTE referenced
+    * inside the loop, so the edge aggregation re-executes every
+    * iteration — records read at sf0.1: 0.77M for one edges pass vs
+    * 3.40M for the 4-iteration recursion (4.4×). Fine here (the loop
+    * join is 600 contracted rows), wrong at 100 TB: materialize the
+    * contracted edge table FIRST and recurse over it — in a PowerSQL
+    * project that is simply two models (`CREATE TABLE edges AS …;` then
+    * the recursive model joins the materialized table; GraftCliSpec's
+    * recursive-model test runs exactly that shape), and in DataFrame
+    * code it is g1's checkpoint-the-contracted-graph discipline.
     */
   def q63_recursive(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).registerAll()

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import java.nio.charset.StandardCharsets
 
 /** Versioned snapshot tables: every write lands in a fresh immutable
@@ -16,37 +17,61 @@ import java.nio.charset.StandardCharsets
   * old versions are garbage-collected explicitly (`vacuum`), never
   * implicitly.
   *
-  * The manifest protocol (write temp + atomic move) is the same
+  * The manifest protocol (write temp + atomic rename) is the same
   * last-writer-wins single-pointer design lakehouse formats grew out
   * of; no lock service is needed because versions are immutable and the
-  * pointer swap is a filesystem atomic. On object stores, the atomic
-  * move becomes a conditional put — the protocol holds, but THIS
-  * implementation's manifest I/O is java.nio (local/NFS paths only); a
-  * cluster deployment swaps these ~20 lines for the Hadoop FileSystem
-  * API (create-with-overwrite + rename), the data writes already go
-  * through Spark and need no change.
+  * pointer swap is a filesystem atomic. ALL manifest I/O goes through
+  * the Hadoop FileSystem API, so the same code runs on file:, hdfs://
+  * and s3a:// table paths (the rename is atomic on posix filesystems
+  * and HDFS; on S3 it is copy+delete — pair with a conditional-put
+  * manifest service if concurrent writers must be fenced, readers are
+  * safe either way because version directories are immutable).
   */
 object Snapshots {
 
-  private def manifestPath(table: String) = Paths.get(table, "_CURRENT")
+  /** Active session's Hadoop conf (carries fs credentials/settings);
+    * plain defaults when called without a session.
+    */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private def manifestPath(table: String) = new Path(table, "_CURRENT")
 
   /** Commit `df` as the next version; returns the version number. */
   def write(df: DataFrame, table: String): Long = {
     val next = currentVersion(table).map(_ + 1).getOrElse(0L)
     df.write.mode("errorifexists").parquet(s"$table/v=$next")
-    val tmp = Paths.get(table, s"_CURRENT.tmp.$next")
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new Path(table, s"_CURRENT.tmp.$next")
+    val f = fs(tmp)
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext.rename(OVERWRITE): the atomic pointer swap (plain
+    // FileSystem.rename refuses to replace an existing destination)
+    FileContext.getFileContext(tmp.toUri, hadoopConf)
+      .rename(tmp, manifestPath(table), Options.Rename.OVERWRITE)
     next
   }
 
   /** Latest committed version, if the table exists. */
   def currentVersion(table: String): Option[Long] = {
     val m = manifestPath(table)
-    if (Files.exists(m))
-      Some(new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong)
-    else None
+    val f = fs(m)
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8).trim.toLong)
+      } finally in.close()
+    }
   }
 
   /** Read the current version, or a pinned historical one (time travel). */
@@ -63,23 +88,14 @@ object Snapshots {
   def vacuum(table: String, keepLast: Int): Seq[Long] = {
     val cur = currentVersion(table).getOrElse(return Seq.empty)
     val cutoff = cur - keepLast + 1
-    val dir = Paths.get(table)
-    // Files.list/walk streams hold directory handles — close them
-    // (Using) so repeated vacuums in a long-lived driver don't exhaust
-    // file descriptors
-    val dropped = scala.util.Using.resource(Files.list(dir)) { s =>
-      s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(p => p.getFileName.toString.startsWith("v="))
-        .map(p => p.getFileName.toString.stripPrefix("v=").toLong)
-        .filter(_ < cutoff).sorted
-    }
-    dropped.foreach { v =>
-      val vdir = Paths.get(table, s"v=$v")
-      scala.util.Using.resource(Files.walk(vdir)) { s =>
-        s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.delete(p))
-      }
-    }
+    val dir = new Path(table)
+    val f = fs(dir)
+    val dropped = f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .filter(_ < cutoff).sorted
+    dropped.foreach(v => f.delete(new Path(table, s"v=$v"), true))
     dropped
   }
 }

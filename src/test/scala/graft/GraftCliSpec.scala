@@ -125,6 +125,31 @@ class GraftCliSpec extends SparkSpec {
     }
   }
 
+  test("--select against an unbuilt warehouse fails fast naming the missing upstream") {
+    Tables(spark, sfDir).registerAll()
+    val root = java.nio.file.Files.createTempDirectory("graft_selmiss_").toString
+    new java.io.File(s"$root/models").mkdirs()
+    new java.io.File(s"$root/tests").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/powersql.toml"),
+      "[project]\nname = \"selmiss\"\nmodels = [\"models\"]\ntests = [\"tests\"]\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/models/chain.sql"),
+      """CREATE TABLE base2 AS SELECT o_custkey FROM orders;
+        |CREATE TABLE leaf2 AS SELECT COUNT(*) AS n FROM base2;
+        |""".stripMargin)
+    // selecting the leaf without base2 ever materialized: exit 1 with a
+    // clear message, never a raw TABLE_OR_VIEW_NOT_FOUND from analysis
+    val err = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    val code =
+      try {
+        System.setErr(new java.io.PrintStream(err, true))
+        GraftCli.execute(spark, "run", root, s"$root/wh", failFast = false, Some("leaf2"))
+      } finally System.setErr(prev)
+    assert(code == 1)
+    assert(err.toString.contains("base2") && err.toString.contains("--select"),
+      s"error must name the missing upstream model, got: ${err.toString}")
+  }
+
   test("--data registers only the sources the DAG + tests reference") {
     // fresh view namespace so registration effects are observable
     Tables.SourceNames.foreach(n => spark.catalog.dropTempView(n))
