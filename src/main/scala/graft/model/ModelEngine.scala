@@ -250,6 +250,89 @@ final class ModelEngine(spark: SparkSession) {
     * `docs` renders the markdown/mermaid view FROM these rows, so the
     * oracle-checked data is exactly what the renderer shows.
     */
+  /** Column-level lineage: every output column of every model traced
+    * TRANSITIVELY to the source-table columns that feed it, straight off
+    * the ANALYZED Catalyst plans (models inline as temp views, so a
+    * column flowing through three models still lands on its parquet
+    * origin). The impact-analysis surface dbt exposes as `docs` metadata
+    * and the reference cannot derive at all (it never analyzes the SQL
+    * it forwards): "which models break if orders.o_totalprice changes
+    * type" is one filter over this table.
+    *
+    * Lineage = projection lineage (the standard definition): a column's
+    * sources are the attributes its defining expressions reference;
+    * join/filter predicates select rows but do not feed column values.
+    * Literal-only columns (e.g. COUNT(*)) have no source rows. Scalar
+    * subqueries inside a projection are out of scope (documented).
+    *
+    * Returns (model, column, src_table, src_column) rows.
+    */
+  def columnLineage(models: Seq[ModelStatement]): Seq[(String, String, String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val modelNames = models.map(_.name).toSet
+    type Lin = Map[ExprId, Set[(String, String)]]
+
+    def merge(ms: Seq[Lin]): Lin =
+      ms.foldLeft(Map.empty: Lin)((a, b) => (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, Set.empty) ++ b.getOrElse(k, Set.empty))).toMap)
+
+    def walk(plan: LogicalPlan, cte: Map[Long, (Seq[Attribute], Lin)]): Lin = plan match {
+      // a non-model temp view boundary IS a source: stop and name it
+      // (sources may wrap projections, e.g. the events ns→us cast).
+      // CTE references are also SubqueryAlias'd leaves — those resolve
+      // through the cte map below, never as sources
+      case SubqueryAlias(id, child) if !modelNames.contains(id.name.toLowerCase) &&
+          !child.isInstanceOf[CTERelationRef] &&
+          (child.isInstanceOf[View] || child.children.isEmpty) =>
+        plan.output.map(a => a.exprId -> Set((id.name.toLowerCase, a.name))).toMap
+      case w: WithCTE =>
+        val defs = w.cteDefs.foldLeft(cte) { (acc, d) =>
+          acc + (d.id -> ((d.child.output, walk(d.child, acc))))
+        }
+        walk(w.plan, defs)
+      case r: CTERelationRef =>
+        cte.get(r.cteId).map { case (defOut, defLin) =>
+          r.output.zip(defOut).map { case (o, d) =>
+            o.exprId -> defLin.getOrElse(d.exprId, Set.empty)
+          }.toMap
+        }.getOrElse(Map.empty)
+      case u: Union =>
+        val childLins = u.children.map(c => walk(c, cte))
+        u.output.zipWithIndex.map { case (o, i) =>
+          o.exprId -> u.children.zip(childLins).flatMap { case (c, l) =>
+            l.getOrElse(c.output(i).exprId, Set.empty)
+          }.toSet
+        }.toMap
+      case _ =>
+        val base = merge(plan.children.map(c => walk(c, cte)))
+        // any node that DEFINES named expressions (Project, Aggregate,
+        // Window, Generate, …) maps each alias to the union of its
+        // references' lineages; everything else passes through by exprId
+        val defined = plan.expressions.flatMap { e =>
+          e.collect { case al: Alias =>
+            al.exprId -> al.child.references.toSeq
+              .flatMap(r => base.getOrElse(r.exprId, Set.empty)).toSet
+          }
+        }.toMap
+        base ++ defined
+    }
+
+    val byName = models.map(m => m.name -> m).toMap
+    val rows = Seq.newBuilder[(String, String, String, String)]
+    for (level <- topoLevels(dependencies(models)); name <- level) {
+      val df = spark.sql(byName(name).query)
+      val lin = walk(df.queryExecution.analyzed, Map.empty)
+      df.queryExecution.analyzed.output.foreach { a =>
+        lin.getOrElse(a.exprId, Set.empty).toSeq.sorted.foreach { case (st, sc) =>
+          rows += ((name, a.name, st, sc))
+        }
+      }
+      df.createOrReplaceTempView(name)
+    }
+    rows.result()
+  }
+
   def docsData(models: Seq[ModelStatement]): Seq[(String, String, Long, String, String)] = {
     val deps = dependencies(models)
     val schemas = check(models)

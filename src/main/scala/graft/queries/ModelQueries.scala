@@ -52,6 +52,53 @@ object ModelQueries {
       |FROM cust_orders GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** a6_lineage — column-level lineage of a1's three-model DAG: every
+    * model column traced transitively to its source-table columns from
+    * the analyzed Catalyst plans (ModelEngine.columnLineage). The
+    * impact-analysis surface the reference cannot derive (it forwards
+    * SQL unanalyzed). Like a2, the oracle IS the contract: graft
+    * guarantees exactly these lineage rows for this DAG, pinned as
+    * literals — a lineage regression (lost edge through the view, a
+    * join predicate leaking into projection lineage, an aggregate
+    * miscredited) breaks the hash. [oracle]
+    */
+  def a6_lineage(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW big_orders AS
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 150000;
+        |CREATE TABLE cust_orders AS
+        |  SELECT c_custkey, c_mktsegment, o_totalprice
+        |  FROM customer JOIN big_orders ON c_custkey = o_custkey;
+        |CREATE VIEW seg_summary AS
+        |  SELECT c_mktsegment,
+        |    COUNT(*) AS n_big_orders,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS big_revenue
+        |  FROM cust_orders GROUP BY c_mktsegment
+        |""".stripMargin)
+    import spark.implicits._
+    new ModelEngine(spark).columnLineage(models)
+      .toDF("model", "column", "src_table", "src_column")
+      .orderBy("model", "column", "src_table", "src_column")
+  }
+
+  /** The pinned lineage contract (literal-only columns like COUNT(*)
+    * have no source rows by definition).
+    */
+  val a6_oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('big_orders',  'o_orderkey',   'orders',   'o_orderkey'),
+      |  ('big_orders',  'o_custkey',    'orders',   'o_custkey'),
+      |  ('big_orders',  'o_totalprice', 'orders',   'o_totalprice'),
+      |  ('cust_orders', 'c_custkey',    'customer', 'c_custkey'),
+      |  ('cust_orders', 'c_mktsegment', 'customer', 'c_mktsegment'),
+      |  ('cust_orders', 'o_totalprice', 'orders',   'o_totalprice'),
+      |  ('seg_summary', 'c_mktsegment', 'customer', 'c_mktsegment'),
+      |  ('seg_summary', 'big_revenue',  'orders',   'o_totalprice')
+      |) AS t(model, "column", src_table, src_column)
+      |ORDER BY model, "column", src_table, src_column""".stripMargin
+
   /** a3_model_assert — the ASSERT data-test surface (reference:
     * examples/postgres/tests/data_tests.sql) run by the engine; emits one
     * row per test with its boolean outcome.

@@ -136,4 +136,31 @@ class ModelEngineSpec extends SparkSpec {
     val results = new ModelEngine(spark).runProject(project, s"$root/wh")
     assert(results == Seq("view is non-empty" -> true))
   }
+
+  test("columnLineage traces through CTEs, unions and window specs") {
+    Tables(spark, sfDir).registerAll()
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW lin_cte AS
+        |  WITH x AS (SELECT o_custkey AS k, o_totalprice AS p FROM orders)
+        |  SELECT k, SUM(p) AS tot FROM x GROUP BY k;
+        |CREATE VIEW lin_union AS
+        |  SELECT o_custkey AS id FROM orders
+        |  UNION ALL SELECT c_custkey AS id FROM customer;
+        |CREATE VIEW lin_win AS
+        |  SELECT o_custkey,
+        |    row_number() OVER (ORDER BY o_totalprice) AS rn FROM orders
+        |""".stripMargin)
+    val lin = new ModelEngine(spark).columnLineage(models)
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.map(r => (r._3, r._4)).toSet }
+    assert(lin(("lin_cte", "k")) == Set(("orders", "o_custkey")),
+      "lineage must pierce the CTE")
+    assert(lin(("lin_cte", "tot")) == Set(("orders", "o_totalprice")))
+    assert(lin(("lin_union", "id")) ==
+      Set(("orders", "o_custkey"), ("customer", "c_custkey")),
+      "union branches both contribute")
+    assert(lin(("lin_win", "rn")) == Set(("orders", "o_totalprice")),
+      "a window function's value depends on its ordering column")
+    assert(lin(("lin_win", "o_custkey")) == Set(("orders", "o_custkey")))
+  }
 }
