@@ -81,6 +81,27 @@ object Snapshots {
     spark.read.parquet(s"$table/v=$v")
   }
 
+  /** Compact the current version into ~`targetFileBytes` files and
+    * commit the result as the NEXT version — same rows, fewer/right-
+    * sized files. Small files are the classic 100 TB scan killer (per-
+    * file open + footer read dominates under ~16 MB); because compaction
+    * is just another snapshot commit, readers pinned to the old version
+    * are untouched and `vacuum` reclaims it later. Returns the new
+    * version number.
+    */
+  def compact(spark: SparkSession, table: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    val vdir = new Path(table, s"v=$cur")
+    val bytes = fs(vdir).getContentSummary(vdir).getLength
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // repartition (not coalesce): coalesce would fuse the read into too
+    // few tasks and serialize the decode; the shuffle is one pass over
+    // data that is being rewritten anyway
+    write(read(spark, table).repartition(parts), table)
+  }
+
   /** Drop version directories older than `keepLast` versions behind the
     * current pointer. Explicit, never automatic: readers pinned to an
     * old version keep working until an operator decides otherwise.

@@ -44,4 +44,22 @@ class SnapshotsSpec extends SparkSpec {
       "pointer must still reference the last COMMITTED version")
     assert(Snapshots.read(spark, table).count() == 1)
   }
+
+  test("compact rewrites the current version into fewer files as a new version") {
+    val table = java.nio.file.Files.createTempDirectory("snapc_").toString + "/t"
+    // a deliberately fragmented write: 16 partitions over 1600 rows
+    val frag = spark.range(1600).select(col("id"), (col("id") % 7).as("g")).repartition(16)
+    Snapshots.write(frag, table)
+    def parquetFiles(v: Long): Int =
+      new java.io.File(s"$table/v=$v").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(0) == 16)
+
+    val v1 = Snapshots.compact(spark, table)
+    assert(v1 == 1L)
+    assert(parquetFiles(1) < 16, "compaction must reduce the file count")
+    // same rows, and the fragmented version is still pinnable
+    assert(Snapshots.read(spark, table).orderBy("id").collect().toSeq ==
+      Snapshots.read(spark, table, Some(0L)).orderBy("id").collect().toSeq)
+    assert(Snapshots.currentVersion(table).contains(1L))
+  }
 }
