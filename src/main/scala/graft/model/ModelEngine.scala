@@ -280,10 +280,11 @@ final class ModelEngine(spark: SparkSession) {
     def walk(plan: LogicalPlan, cte: Map[Long, (Seq[Attribute], Lin)]): Lin = plan match {
       // a non-model temp view boundary IS a source: stop and name it
       // (sources may wrap projections, e.g. the events ns→us cast).
-      // CTE references are also SubqueryAlias'd leaves — those resolve
-      // through the cte map below, never as sources
+      // CTE references and recursive self-references are also
+      // SubqueryAlias'd leaves — those resolve through the cte map /
+      // loop-branch union below, never as sources
       case SubqueryAlias(id, child) if !modelNames.contains(id.name.toLowerCase) &&
-          !child.isInstanceOf[CTERelationRef] &&
+          !child.isInstanceOf[CTERelationRef] && !child.isInstanceOf[UnionLoopRef] &&
           (child.isInstanceOf[View] || child.children.isEmpty) =>
         plan.output.map(a => a.exprId -> Set((id.name.toLowerCase, a.name))).toMap
       case w: WithCTE =>
@@ -297,7 +298,11 @@ final class ModelEngine(spark: SparkSession) {
             o.exprId -> defLin.getOrElse(d.exprId, Set.empty)
           }.toMap
         }.getOrElse(Map.empty)
-      case u: Union =>
+      // UnionBase covers plain Union AND UnionLoop (recursive CTE body):
+      // output column i draws from column i of every branch — for a
+      // recursion that is anchor ∪ step, the fixpoint lineage, since the
+      // step's self-reference (UnionLoopRef) contributes nothing new
+      case u: UnionBase =>
         val childLins = u.children.map(c => walk(c, cte))
         u.output.zipWithIndex.map { case (o, i) =>
           o.exprId -> u.children.zip(childLins).flatMap { case (c, l) =>
@@ -360,13 +365,20 @@ final class ModelEngine(spark: SparkSession) {
       ds.foreach(d => sb.append(s"  $d --> $m\n"))
     }
     sb.append("```\n\n")
+    // column-level lineage per model (ModelEngine.columnLineage):
+    // (model, column) → "src.col, src.col"
+    val lineage = columnLineage(models)
+      .groupBy(r => (r._1, r._2))
+      .view.mapValues(_.map(r => s"${r._3}.${r._4}").sorted.mkString(", "))
+      .toMap
     names.foreach { m =>
       val kind = byModel(m).find(_._2 == "model").fold("view")(_._5)
       sb.append(s"## $m ($kind)\n\n")
       val cols = byModel(m).filter(_._2 == "column").sortBy(_._3)
       if (cols.nonEmpty) {
-        sb.append("| column | type |\n|---|---|\n")
-        cols.foreach(c => sb.append(s"| ${c._4} | ${c._5} |\n"))
+        sb.append("| column | type | sources |\n|---|---|---|\n")
+        cols.foreach(c => sb.append(
+          s"| ${c._4} | ${c._5} | ${lineage.getOrElse((m, c._4), "")} |\n"))
       }
       sb.append("\n")
     }

@@ -44,6 +44,10 @@ class GraftCliSpec extends SparkSpec {
     assert(GraftCli.execute(spark, "docs", projectDir, s"$projectDir/wh", failFast = false) == 0)
     val docs = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$projectDir/docs/docs.md"))
     assert(docs.contains("revenue --> rev_per_customer"))
+    // column-level lineage rendered per column: rev traces through the
+    // revenue view to the source orders table
+    assert(docs.contains("| rev | ") && docs.contains("orders.o_totalprice"),
+      s"docs must render column lineage, got:\n$docs")
   }
 
   test("test command returns nonzero exit code on failing assertion") {
