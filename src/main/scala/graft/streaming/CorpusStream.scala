@@ -65,4 +65,27 @@ object CorpusStream {
     fresh.dropDuplicates("fp")
       .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
   }
+
+  /** foreachBatch body: enrich each micro-batch against the CURRENT
+    * version of a [[graft.sources.Snapshots]] dimension table and
+    * record which version served it. The streaming side of the
+    * snapshot-governance story: the dim can keep publishing while the
+    * stream runs — each batch picks up the version current at ITS
+    * moment (re-read per batch: a snapshot version is a tiny manifest
+    * read + a broadcast-sized dim scan, and never changes under the
+    * reader because versions are immutable), and the emitted
+    * `dim_version` column makes every output row's provenance
+    * reproducible months later (`Snapshots.read(_, Some(v))`).
+    */
+  def enrichWithSnapshotBatch(dimTable: String, key: String, outPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = graft.sources.Snapshots.currentVersion(dimTable).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $dimTable"))
+    val dim = org.apache.spark.sql.functions.broadcast(
+      graft.sources.Snapshots.read(spark, dimTable, Some(v)))
+    batch.join(dim, Seq(key), "left")
+      .withColumn("dim_version", lit(v))
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+  }
 }

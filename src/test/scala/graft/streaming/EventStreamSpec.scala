@@ -144,6 +144,34 @@ class EventStreamSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 3)
   }
 
+  test("snapshot-dim enrichment: each micro-batch joins the version current at its moment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = java.nio.file.Files.createTempDirectory("enrich_dim_").toString + "/langs"
+    val out = java.nio.file.Files.createTempDirectory("enrich_out_").toString + "/docs"
+    // dim v0
+    graft.sources.Snapshots.write(Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang"), dim)
+    val stream = MemoryStream[StreamDoc]
+    val q = stream.toDF().writeStream
+      .foreachBatch(CorpusStream.enrichWithSnapshotBatch(dim, "doc_id", out) _)
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(StreamDoc(1, "hello"), StreamDoc(2, "bonjour"))
+    q.processAllAvailable()
+    // dim publishes v1 mid-stream: doc 2 reclassified, doc 3 appears
+    graft.sources.Snapshots.write(
+      Seq((1L, "en"), (2L, "fr-CA"), (3L, "de")).toDF("doc_id", "lang"), dim)
+    stream.addData(StreamDoc(2, "bonjour"), StreamDoc(3, "hallo"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "lang", "dim_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, "en", 0L), (2L, "fr", 0L), (2L, "fr-CA", 1L), (3L, "de", 1L)),
+      s"each batch must see its own dim version, got $rows")
+    // provenance: any output row's dim version is re-readable months later
+    assert(graft.sources.Snapshots.read(spark, dim, Some(0L)).count() == 2)
+  }
+
   test("Trigger.AvailableNow file ingest: each run drains only files the checkpoint hasn't seen") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
