@@ -21,6 +21,18 @@ class EntrySmokeSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without entries: ${orphans.mkString(", ")}")
   }
 
+  test("every query entry is oracle-checked (zero rows-only is a CI invariant)") {
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty,
+      s"entries without oracles (would silently demote to rows-only): ${unchecked.mkString(", ")}")
+  }
+
+  test("bench short ids stay unique across entries") {
+    val ids = SparkEntry.queries.keySet.map(Bench.shortId)
+    assert(ids.size == SparkEntry.queries.size,
+      "two entries share a short id - the driver bench line would collide")
+  }
+
   test("the flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
