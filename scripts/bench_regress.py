@@ -45,6 +45,8 @@ def load_queries(path):
         doc = {"tail": text}
     if isinstance(doc, dict) and "queries" in doc:
         qs = {short_id(k): v for k, v in doc["queries"].items()}
+        if len(qs) != len(doc["queries"]):
+            sys.exit(f"{path}: short-id collision would silently merge entries")
         return qs, float(doc.get("value", sum(qs.values())))
     # driver artifact: the bench line lives (possibly truncated) in "tail"
     tail = doc.get("tail", "") if isinstance(doc, dict) else ""
@@ -57,7 +59,11 @@ def load_queries(path):
         body = tail
     for name, sec in re.findall(r'"([a-z]\w+)":([0-9.]+)', body):
         if name not in ("value", "sf", "n", "rc", "cpus"):
-            pairs[short_id(name)] = float(sec)
+            sid = short_id(name)
+            if sid in pairs:
+                sys.exit(f"{path}: short-id collision on {sid!r} "
+                         "would silently merge entries")
+            pairs[sid] = float(sec)
     tm = re.search(r'"metric":"total","value":([0-9.]+)', tail)
     total = float(tm.group(1)) if tm else sum(pairs.values())
     if not pairs:

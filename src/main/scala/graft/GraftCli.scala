@@ -78,10 +78,11 @@ object GraftCli {
         val needed = Selector.expand(deps, keep.map("+" + _).mkString(",")) -- keep
         // fail fast when an upstream TABLE model was never materialized:
         // silently skipping it would surface later as a raw
-        // TABLE_OR_VIEW_NOT_FOUND from analysis with no hint at the cause
+        // TABLE_OR_VIEW_NOT_FOUND from analysis with no hint at the cause.
+        // Hadoop FS existence check so hdfs://s3a: warehouses work too
         val missing = allModels.collect {
           case TableModel(n, _) if needed(n) &&
-            !new java.io.File(warehouse, n).exists() => n
+            !ModelEngine.warehouseTableExists(spark, warehouse, n) => n
         }
         if (missing.nonEmpty) {
           System.err.println(

@@ -145,9 +145,8 @@ final class ModelEngine(spark: SparkSession) {
     for (level <- topoLevels(dependencies(models)); name <- level)
       byName(name) match {
         case TableModel(n, _) =>
-          val path = new java.io.File(warehouse, n)
-          if (path.exists())
-            spark.read.parquet(path.toString).createOrReplaceTempView(n)
+          if (ModelEngine.warehouseTableExists(spark, warehouse, n))
+            spark.read.parquet(s"$warehouse/$n").createOrReplaceTempView(n)
         case ViewModel(n, q) =>
           spark.sql(q).createOrReplaceTempView(n)
       }
@@ -323,17 +322,29 @@ final class ModelEngine(spark: SparkSession) {
         base ++ defined
     }
 
+    // Lineage is a READ-ONLY analysis — but the topo walk must bind each
+    // model name to its raw-query plan so downstream models inline.
+    // Save any pre-existing bindings (e.g. warehouse-backed views after a
+    // run) and restore them on exit, so calling lineage mid-session never
+    // silently rebinds materialized tables to live recomputation.
+    val catalog = spark.sessionState.catalog
+    val saved = models.map(m => m.name -> catalog.getRawTempView(m.name))
     val byName = models.map(m => m.name -> m).toMap
     val rows = Seq.newBuilder[(String, String, String, String)]
-    for (level <- topoLevels(dependencies(models)); name <- level) {
-      val df = spark.sql(byName(name).query)
-      val lin = walk(df.queryExecution.analyzed, Map.empty)
-      df.queryExecution.analyzed.output.foreach { a =>
-        lin.getOrElse(a.exprId, Set.empty).toSeq.sorted.foreach { case (st, sc) =>
-          rows += ((name, a.name, st, sc))
+    try {
+      for (level <- topoLevels(dependencies(models)); name <- level) {
+        val df = spark.sql(byName(name).query)
+        val lin = walk(df.queryExecution.analyzed, Map.empty)
+        df.queryExecution.analyzed.output.foreach { a =>
+          lin.getOrElse(a.exprId, Set.empty).toSeq.sorted.foreach { case (st, sc) =>
+            rows += ((name, a.name, st, sc))
+          }
         }
+        df.createOrReplaceTempView(name)
       }
-      df.createOrReplaceTempView(name)
+    } finally saved.foreach {
+      case (n, Some(prev)) => catalog.createTempView(n, prev, overrideIfExists = true)
+      case (n, None)       => catalog.dropTempView(n)
     }
     rows.result()
   }
@@ -391,5 +402,16 @@ final class ModelEngine(spark: SparkSession) {
     val tests = project.tests.flatMap(ModelParser.loadDir).flatMap(ModelParser.parseTestFile)
     run(models, warehouse)
     test(tests, failFast)
+  }
+}
+
+object ModelEngine {
+  /** Does `warehouse/table` exist? Through the Hadoop FileSystem API so
+    * hdfs:// and s3a:// warehouses answer correctly — a java.io.File
+    * check is local-only and reports every remote table missing.
+    */
+  def warehouseTableExists(spark: SparkSession, warehouse: String, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(warehouse, table)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 }

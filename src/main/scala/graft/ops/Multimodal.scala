@@ -48,7 +48,13 @@ object Multimodal {
     * cost must not scale with the largest asset).
     */
   private def extractPng(payload: Array[Byte], dim: Int): Option[Array[Float]] =
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+    // ImageIO.read returns null when no reader claims the stream but
+    // THROWS (IIOException) on a claimed-but-corrupt body — both must
+    // degrade to the stub fold, never kill the task (a 100 TB media scan
+    // always contains some truncated payloads)
+    scala.util.Try(
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    ).toOption.flatten.map { img =>
       val w = img.getWidth; val h = img.getHeight
       val n = w.toLong * h
       val stride = math.max(1L, n / 4096L).toInt

@@ -223,7 +223,10 @@ object Similarity {
     val spark = ann.sparkSession
     import spark.implicits._
     val exactDf = broadcast(pairs.toDF("query_id", "neighbor_id"))
-    val hits = ann.select("query_id", "neighbor_id")
+    // distinct BEFORE counting hits: an ANN result that emits the same
+    // (query, neighbor) pair twice (multi-probe overlap, un-deduped
+    // rerank) must count one true hit, not inflate recall past reality
+    val hits = ann.select("query_id", "neighbor_id").distinct()
       .join(exactDf, Seq("query_id", "neighbor_id"), "left_semi")
     exactDf.agg(
         countDistinct(col("query_id")).as("n_queries"),

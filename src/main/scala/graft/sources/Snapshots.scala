@@ -46,14 +46,23 @@ object Snapshots {
     val next = currentVersion(table).map(_ + 1).getOrElse(0L)
     df.write.mode("errorifexists").parquet(s"$table/v=$next")
     val tmp = new Path(table, s"_CURRENT.tmp.$next")
-    val f = fs(tmp)
-    val out = f.create(tmp, true)
+    // the whole manifest commit goes through FileContext (raw fs): a
+    // FileSystem.create on local paths routes through ChecksumFileSystem
+    // and would strand a .crc sidecar per commit that the rename below
+    // (raw) never moves; and FileContext.rename(OVERWRITE) is the atomic
+    // pointer swap plain FileSystem.rename refuses
+    val fc = FileContext.getFileContext(tmp.toUri, hadoopConf)
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // FileContext.rename(OVERWRITE): the atomic pointer swap (plain
-    // FileSystem.rename refuses to replace an existing destination)
-    FileContext.getFileContext(tmp.toUri, hadoopConf)
-      .rename(tmp, manifestPath(table), Options.Rename.OVERWRITE)
+    try fc.rename(tmp, manifestPath(table), Options.Rename.OVERWRITE)
+    catch {
+      case t: Throwable =>
+        try fc.delete(tmp, false) catch { case _: Throwable => () }
+        throw t
+    }
     next
   }
 

@@ -44,16 +44,21 @@ class ModelDagWidthSpec extends SparkSpec {
     def timed[T](body: => T): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    def sequential(wh: String): Unit = {
+      val sink = TableSink.parquet(wh)
+      for (level <- levels; name <- level) {
+        val TableModel(n, q) = byName(name): @unchecked
+        sink.materialize(spark, n, spark.sql(q)).createOrReplaceTempView(n)
+      }
+    }
+
+    // untimed warmup (footer caches, codegen, write-path JIT) so neither
+    // timed leg gets a structural cold-start advantage from run order
+    sequential(java.nio.file.Files.createTempDirectory("graft_width_warm_").toString)
 
     // sequential baseline: same sink, same order, one model at a time
     val seqWh = java.nio.file.Files.createTempDirectory("graft_width_seq_").toString
-    val seqSink = TableSink.parquet(seqWh)
-    val seqSec = timed {
-      for (level <- levels; name <- level) {
-        val TableModel(n, q) = byName(name): @unchecked
-        seqSink.materialize(spark, n, spark.sql(q)).createOrReplaceTempView(n)
-      }
-    }
+    val seqSec = timed(sequential(seqWh))
 
     // level-parallel scheduler (what `GraftCli run` executes)
     val parWh = java.nio.file.Files.createTempDirectory("graft_width_par_").toString

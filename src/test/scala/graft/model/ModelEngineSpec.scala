@@ -163,4 +163,26 @@ class ModelEngineSpec extends SparkSpec {
       "a window function's value depends on its ordering column")
     assert(lin(("lin_win", "o_custkey")) == Set(("orders", "o_custkey")))
   }
+
+  test("columnLineage is read-only: pre-existing view bindings restored, scratch views dropped") {
+    Tables(spark, sfDir).registerAll()
+    import spark.implicits._
+    // simulate a warehouse-backed binding: the model name already points
+    // at materialized data, NOT at its live query
+    Seq(42L).toDF("n").createOrReplaceTempView("lin_keep")
+    val models = ModelParser.parseModelFile(
+      """CREATE TABLE lin_keep AS SELECT MAX(o_custkey) AS n FROM orders;
+        |CREATE TABLE lin_scratch AS SELECT n + 1 AS n FROM lin_keep
+        |""".stripMargin)
+    val lin = new ModelEngine(spark).columnLineage(models)
+    assert(lin.contains(("lin_scratch", "n", "orders", "o_custkey")),
+      s"lineage must pierce the chain even with the pre-existing binding, got $lin")
+    // the materialized binding survives (not silently rebound to the
+    // live COUNT(*) recomputation) and the never-bound name is gone
+    assert(spark.table("lin_keep").collect().head.getLong(0) == 42L,
+      "lineage must not rebind a materialized view to its raw query")
+    assert(!spark.catalog.tableExists("lin_scratch"),
+      "lineage must drop the scratch bindings it created")
+    spark.catalog.dropTempView("lin_keep")
+  }
 }
