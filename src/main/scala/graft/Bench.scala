@@ -15,9 +15,11 @@ import org.apache.spark.sql.SparkSession
   * of stdout, and the round-3 full-name line (~2.9 KB for 105 entries)
   * lost its head to that window. The stdout line therefore uses each
   * entry's short id — the prefix before the first underscore ("q4" for
-  * "q4_join_shuffle"), unique across the whole suite — at 2-decimal
-  * precision (~1.2 KB total). The full-name, 3-decimal line still goes
-  * to target/bench_local.json for committed local snapshots;
+  * "q4_join_shuffle"), unique across the whole suite — at 3-decimal
+  * precision (~1.4 KB total, still inside the tail window; 2 decimals
+  * quantized sub-10 ms entries to 0.00/0.01 and cost the regression gate
+  * its resolution on the fastest queries). The full-name, 3-decimal line
+  * still goes to target/bench_local.json for committed local snapshots;
   * scripts/bench_regress.py canonicalizes both shapes to the short id
   * before comparing rounds.
   */
@@ -87,6 +89,6 @@ object Bench {
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out)
     try w.println(line(3, identity)) finally w.close()
-    println(line(2, shortId))
+    println(line(3, shortId))
   }
 }

@@ -27,12 +27,39 @@ import scala.collection.mutable.ArrayBuffer
   *    exit recompute from source (correct, just uncached).
   *
   * Scopes are thread-local and nest; each persist registers with the
-  * innermost open scope on its thread.
+  * innermost open scope on its thread. Work handed to OTHER threads
+  * (a Future pool, a streaming foreachBatch worker) does not see the
+  * calling thread's scope by default — a pool thread may predate the
+  * scope, so JVM-level inheritance cannot be relied on either. Code
+  * that fans out under a scope must carry it explicitly:
+  * [[captureScope]] on the submitting thread, [[runWithScope]] around
+  * the worker body (ModelEngine's level-parallel `run` does exactly
+  * this, so `Caching.scoped { engine.run(...) }` releases every frame
+  * the models persisted on any pool thread).
   */
 object Caching {
 
   private val scopes = new ThreadLocal[List[ArrayBuffer[DataFrame]]] {
     override def initialValue(): List[ArrayBuffer[DataFrame]] = Nil
+  }
+
+  /** Opaque snapshot of a thread's open scope stack, for re-establishing
+    * it on a worker thread ([[captureScope]] / [[runWithScope]]).
+    */
+  final class ScopeHandle private[Caching] (
+      private[Caching] val stack: List[ArrayBuffer[DataFrame]])
+
+  /** Snapshot the calling thread's open scopes (empty handle if none). */
+  def captureScope: ScopeHandle = new ScopeHandle(scopes.get())
+
+  /** Run `body` with `handle`'s scopes installed on the current thread
+    * (restoring the thread's own stack after): persists inside `body`
+    * register with the capturing thread's innermost scope.
+    */
+  def runWithScope[T](handle: ScopeHandle)(body: => T): T = {
+    val prev = scopes.get()
+    scopes.set(handle.stack)
+    try body finally scopes.set(prev)
   }
 
   /** Persist `df` (MEMORY_AND_DISK by default) and register it with the
@@ -42,7 +69,7 @@ object Caching {
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(level)
     scopes.get() match {
-      case buf :: _ => buf += df
+      case buf :: _ => buf.synchronized { buf += df } // scope may span threads
       case Nil      => // no scope open: caller owns the cache
     }
     df
@@ -57,7 +84,7 @@ object Caching {
     try body
     finally {
       scopes.set(scopes.get().tail)
-      buf.foreach { df =>
+      buf.synchronized(buf.toList).foreach { df =>
         try df.unpersist(blocking = false)
         catch { case _: Throwable => () } // session already stopped, etc.
       }

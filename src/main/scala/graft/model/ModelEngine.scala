@@ -115,14 +115,20 @@ final class ModelEngine(spark: SparkSession) {
     val byName = models.map(m => m.name -> m).toMap
     val levels = topoLevels(dependencies(models))
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // pool threads may predate (and outlive) any Caching.scoped block the
+    // caller opened, so the scope is carried to them explicitly — frames a
+    // model persists on a worker thread release with the caller's scope
+    val scope = graft.Caching.captureScope
     for (level <- levels) {
       val futures = level.map { name =>
         Future {
-          byName(name) match {
-            case ViewModel(n, q) =>
-              spark.sql(q).createOrReplaceTempView(n)
-            case TableModel(n, q) =>
-              sink.materialize(spark, n, spark.sql(q)).createOrReplaceTempView(n)
+          graft.Caching.runWithScope(scope) {
+            byName(name) match {
+              case ViewModel(n, q) =>
+                spark.sql(q).createOrReplaceTempView(n)
+              case TableModel(n, q) =>
+                sink.materialize(spark, n, spark.sql(q)).createOrReplaceTempView(n)
+            }
           }
         }
       }

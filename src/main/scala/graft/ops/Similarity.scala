@@ -207,8 +207,27 @@ object Similarity {
   private val exactPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long)]]()
 
+  /** Cheap content fingerprint of the embeddings parquet under `dir`
+    * (file names + lengths + mtimes): the baseline cache key carries it
+    * so a long-lived JVM that sees the data regenerated in place
+    * recomputes the exact baseline instead of validating recall against
+    * stale pairs. A metadata listing, no data read.
+    */
+  private def embeddingsFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val parts = fs.listStatus(p).map(s =>
+          s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString(",")
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(parts))
+    }
+  }
+
   private def exactBaselinePairs(spark: SparkSession, dir: String): Seq[(Long, Long)] =
-    exactPairsCache.computeIfAbsent(dir, _ =>
+    exactPairsCache.computeIfAbsent(s"$dir@${embeddingsFingerprint(spark, dir)}", _ =>
       exactTopK(withUnit(Tables(spark, dir).embeddings).select("vec_id", "unit"))
         .select("query_id", "neighbor_id")
         .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))

@@ -493,42 +493,61 @@ object Relational {
     * text bounds depth (hops < 3) and deduplicates in the outer
     * GROUP BY — the portable recursive-CTE shape. All-integer (hop
     * counts, path counts), so the result hash-matches cross-engine.
-    * Scale shape, MEASURED: Spark inlines a non-recursive CTE referenced
-    * inside the loop, so the edge aggregation re-executes every
-    * iteration — records read at sf0.1: 0.77M for one edges pass vs
-    * 3.40M for the 4-iteration recursion (4.4×). Fine here (the loop
-    * join is 600 contracted rows), wrong at 100 TB: materialize the
-    * contracted edge table FIRST and recurse over it — in a PowerSQL
-    * project that is simply two models (`CREATE TABLE edges AS …;` then
-    * the recursive model joins the materialized table; GraftCliSpec's
-    * recursive-model test runs exactly that shape), and in DataFrame
-    * code it is g1's checkpoint-the-contracted-graph discipline.
+    * Scale shape (the round-4 `weak` fix): Spark INLINES a non-recursive
+    * CTE referenced inside the loop, so writing the edge aggregation as
+    * a CTE re-executed the 4-table join + DISTINCT every iteration
+    * (measured 4.4× records read at sf0.1; at 100 TB that is four extra
+    * passes over lineitem⋈orders⋈customer⋈supplier). So the contracted
+    * edge table is MATERIALIZED first — one pass, `localCheckpoint`
+    * cuts the lineage exactly like g1's contracted-graph discipline —
+    * and the verbatim recursive text joins the materialized table
+    * (PlanSpec asserts the loop never touches parquet; total records
+    * read ≈ one edges pass). In a PowerSQL project this is simply two
+    * models (`CREATE TABLE trade_edges AS …;` then the recursive model —
+    * GraftCliSpec's recursive-model test runs exactly that shape), so
+    * the benched entry now carries the shape real projects ship.
     */
   def q63_recursive(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).registerAll()
+    // one edges pass, materialized; eager localCheckpoint cuts lineage so
+    // each recursion step re-reads ~600 contracted rows, never the facts
+    spark.sql(EDGES_TEXT).localCheckpoint().createOrReplaceTempView("trade_edges")
     spark.sql(RECURSIVE_TEXT)
   }
 
-  /** Runs unchanged on Spark AND DuckDB (recursive UNION ALL). */
+  /** The contracted-edge aggregation — shared verbatim with the oracle,
+    * where it is the non-recursive `trade_edges` CTE.
+    */
+  val EDGES_TEXT: String =
+    """SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE o.o_totalprice > 400000 AND c.c_nationkey <> s.s_nationkey""".stripMargin
+
+  /** The recursion over the materialized `trade_edges` table — runs
+    * unchanged on Spark AND DuckDB (recursive UNION ALL).
+    */
   val RECURSIVE_TEXT: String =
     """WITH RECURSIVE
-      |edges AS (
-      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
-      |  FROM lineitem l
-      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |  JOIN customer c ON o.o_custkey = c.c_custkey
-      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      |  WHERE o.o_totalprice > 400000 AND c.c_nationkey <> s.s_nationkey
-      |),
       |reach AS (
       |  SELECT CAST(0 AS BIGINT) AS nation, CAST(0 AS BIGINT) AS hops
       |  UNION ALL
       |  SELECT CAST(e.dst AS BIGINT) AS nation, r.hops + 1 AS hops
-      |  FROM reach r JOIN edges e ON e.src = r.nation
+      |  FROM reach r JOIN trade_edges e ON e.src = r.nation
       |  WHERE r.hops < 3
       |)
       |SELECT nation, MIN(hops) AS min_hops, CAST(COUNT(*) AS BIGINT) AS n_paths
       |FROM reach GROUP BY nation ORDER BY nation""".stripMargin
+
+  /** DuckDB oracle: the SAME two texts, with the materialized table
+    * expressed as the non-recursive CTE (DuckDB executes its CTEs once,
+    * so both engines run one edges pass + the identical recursion).
+    */
+  val q63_oracle: String = RECURSIVE_TEXT.replace(
+    "WITH RECURSIVE\n",
+    s"WITH RECURSIVE\ntrade_edges AS (\n$EDGES_TEXT\n),\n")
 
   /** q61_temporal_join — point-in-interval join against the SCD2
     * dimension q48 builds: each event is enriched with the dimension

@@ -80,12 +80,29 @@ object CorpusStream {
   def enrichWithSnapshotBatch(dimTable: String, key: String, outPath: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val v = graft.sources.Snapshots.currentVersion(dimTable).getOrElse(
+    val partDir = s"$outPath/batch=$batchId"
+    // Replay pinning: a checkpoint-recovery re-run of an already-written
+    // batchId re-reads the dim_version that batch ORIGINALLY joined, so a
+    // replay can never silently rewrite history against a newer dim (the
+    // completed partition carries a _SUCCESS marker; a partial write from
+    // a crashed attempt has none and is safely redone at current).
+    val done = new org.apache.hadoop.fs.Path(partDir, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def current: Long = graft.sources.Snapshots.currentVersion(dimTable).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $dimTable"))
+    val v: Long =
+      if (fs.exists(done)) {
+        val r = spark.read.parquet(partDir).select(min(col("dim_version"))).collect()(0)
+        if (r.isNullAt(0)) current else r.getLong(0) // empty batch pinned nothing
+      } else current
+    val dimRaw = graft.sources.Snapshots.read(spark, dimTable, Some(v))
+    // prefix every non-key dim column: a name shared between batch and dim
+    // would otherwise produce duplicate output columns and fail the write
     val dim = org.apache.spark.sql.functions.broadcast(
-      graft.sources.Snapshots.read(spark, dimTable, Some(v)))
+      dimRaw.select(col(key) +: dimRaw.columns.filter(_ != key)
+        .map(c => col(c).as(s"dim_$c")).toSeq: _*))
     batch.join(dim, Seq(key), "left")
       .withColumn("dim_version", lit(v))
-      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      .write.mode("overwrite").parquet(partDir)
   }
 }

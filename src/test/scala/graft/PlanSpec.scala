@@ -21,6 +21,30 @@ class PlanSpec extends SparkSpec {
   private def nodeCount(plan: String, name: String): Int =
     plan.linesIterator.count(_.trim.matches(s"\\(\\d+\\) $name( .*)?"))
 
+  /** Total task-input records read while `body` runs (parquet rows +
+    * cached/checkpointed block reads). The listener bus is async, so
+    * after `body` returns we wait for the counter to go quiescent.
+    */
+  private def recordsRead(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val v = acc.get()
+        if (v == prev) stable += 1 else { stable = 0; prev = v }
+      }
+      acc.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("q2: predicates and projection are pushed into the parquet scan") {
     val plan = formatted(Relational.q2_filter_project(spark, sfDir))
     assert(plan.contains("PushedFilters:"))
@@ -147,9 +171,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("UnionLoop") || plan.contains("Recursion") ||
       plan.contains("CTERelation"), "recursive CTE must plan as an iterative union")
     assert(!plan.contains("CartesianProduct"))
-    // edge aggregation (the heavy part) carries DISTINCT partial-agg:
-    // the fact joins collapse to <=|nations|^2 rows before the loop
-    assert(plan.contains("HashAggregate"))
+    // the round-4 `weak` shape is dead: the loop joins the MATERIALIZED
+    // contracted edge table (a checkpointed RDD), so no parquet scan —
+    // i.e. no fact-table re-read — can appear anywhere inside the
+    // recursion's plan
+    assert(!plan.contains("Scan parquet"),
+      s"recursion must read the materialized edge table, not re-scan facts:\n$plan")
+  }
+
+  test("q63: total records read ≈ one edges pass (no per-iteration fact re-scan)") {
+    // round 4 measured 4.4× an edges pass when the edge CTE was inlined
+    // into the loop; materialize-first must bring the whole entry back to
+    // ~1× (+ the loop's own reads of ~600 checkpointed rows + tiny dims)
+    Tables(spark, sfDir).registerAll()
+    val edgesOnly = recordsRead {
+      spark.sql(graft.queries.Relational.EDGES_TEXT).count()
+    }
+    val full = recordsRead { Relational.q63_recursive(spark, sfDir).count() }
+    assert(full < edgesOnly * 1.5 + 100000,
+      s"q63 must read ~one edges pass: full=$full vs edgesOnly=$edgesOnly")
   }
 
   test("q46: explicit grouping sets plan one Expand over one scan") {

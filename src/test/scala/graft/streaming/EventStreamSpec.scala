@@ -149,8 +149,11 @@ class EventStreamSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dim = java.nio.file.Files.createTempDirectory("enrich_dim_").toString + "/langs"
     val out = java.nio.file.Files.createTempDirectory("enrich_out_").toString + "/docs"
-    // dim v0
-    graft.sources.Snapshots.write(Seq((1L, "en"), (2L, "fr")).toDF("doc_id", "lang"), dim)
+    // dim v0 — carries a `text` column COLLIDING with the batch's own
+    // `text`: non-key dim columns must come out `dim_`-prefixed or the
+    // parquet write would fail on the duplicate name
+    graft.sources.Snapshots.write(
+      Seq((1L, "en", "d1"), (2L, "fr", "d2")).toDF("doc_id", "lang", "text"), dim)
     val stream = MemoryStream[StreamDoc]
     val q = stream.toDF().writeStream
       .foreachBatch(CorpusStream.enrichWithSnapshotBatch(dim, "doc_id", out) _)
@@ -159,17 +162,25 @@ class EventStreamSpec extends SparkSpec {
     q.processAllAvailable()
     // dim publishes v1 mid-stream: doc 2 reclassified, doc 3 appears
     graft.sources.Snapshots.write(
-      Seq((1L, "en"), (2L, "fr-CA"), (3L, "de")).toDF("doc_id", "lang"), dim)
+      Seq((1L, "en", "d1"), (2L, "fr-CA", "d2"), (3L, "de", "d3"))
+        .toDF("doc_id", "lang", "text"), dim)
     stream.addData(StreamDoc(2, "bonjour"), StreamDoc(3, "hallo"))
     q.processAllAvailable()
     q.stop()
-    val rows = spark.read.parquet(out)
-      .select("doc_id", "lang", "dim_version").collect()
+    def read(): Set[(Long, String, Long)] = spark.read.parquet(out)
+      .select("doc_id", "dim_lang", "dim_version").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(rows == Set((1L, "en", 0L), (2L, "fr", 0L), (2L, "fr-CA", 1L), (3L, "de", 1L)),
-      s"each batch must see its own dim version, got $rows")
+    assert(read() == Set((1L, "en", 0L), (2L, "fr", 0L), (2L, "fr-CA", 1L), (3L, "de", 1L)),
+      s"each batch must see its own dim version, got ${read()}")
     // provenance: any output row's dim version is re-readable months later
     assert(graft.sources.Snapshots.read(spark, dim, Some(0L)).count() == 2)
+    // checkpoint-recovery REPLAY of batch 0 after the dim moved on: the
+    // completed partition pins the version it originally joined (v0) —
+    // a replay can never rewrite history against a newer dim
+    CorpusStream.enrichWithSnapshotBatch(dim, "doc_id", out)(
+      Seq(StreamDoc(1, "hello"), StreamDoc(2, "bonjour")).toDF(), 0L)
+    assert(read() == Set((1L, "en", 0L), (2L, "fr", 0L), (2L, "fr-CA", 1L), (3L, "de", 1L)),
+      s"replayed batch 0 must re-pin dim v0, got ${read()}")
   }
 
   test("Trigger.AvailableNow file ingest: each run drains only files the checkpoint hasn't seen") {
