@@ -43,4 +43,35 @@ object TableSink {
       }
       override def toString: String = s"TableSink.jdbc($url)"
     }
+
+  /** JDBC warehouse with WAREHOUSE-PARITY refresh semantics (reference:
+    * src/execute.rs:77-111): before each model lands, the dialect drops
+    * any previous object of that name INCLUDING DEPENDENT VIEWS
+    * (PostgreSQL: `DROP VIEW/TABLE IF EXISTS "name" CASCADE`), then the
+    * frame is written into a freshly-created table. This is what lets a
+    * real warehouse — where analysts build views on top of models —
+    * keep refreshing; Spark's own Overwrite mode issues a bare
+    * `DROP TABLE` that PG refuses once anything depends on the table.
+    * Identifiers are quoted throughout (mixed-case model names
+    * round-trip), and Spark's per-database `JdbcDialect` supplies the
+    * column type mapping (decimals → NUMERIC(p,s), strings → TEXT on
+    * PG) when it creates the table.
+    */
+  def jdbc(url: String, properties: java.util.Properties,
+           dialect: WarehouseDialect): TableSink =
+    new TableSink {
+      override def materialize(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+        Option(properties.getProperty("driver"))
+          .foreach(Class.forName(_).getDeclaredConstructor()) // load driver
+        val conn = java.sql.DriverManager.getConnection(url, properties)
+        try dialect.dropCascade(conn, name) finally conn.close()
+        val table = dialect.quoteIdentifier(name)
+        // Append after our explicit drop: the table never exists here, so
+        // Spark CREATEs it (dialect-mapped column types) and loads — our
+        // drop owns the refresh semantics, not DataFrameWriter's
+        df.write.mode("append").jdbc(url, table, properties)
+        spark.read.jdbc(url, table, properties)
+      }
+      override def toString: String = s"TableSink.jdbc($url, $dialect)"
+    }
 }
