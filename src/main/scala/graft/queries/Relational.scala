@@ -1004,6 +1004,38 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q66_countmin — the count-min sketch stat API as an oracle-checked
+    * entry (q17b/q45's invariant-oracle pattern applied to the last
+    * spec-only sketch): one distributed pass builds the mergeable CMS
+    * over l_returnflag (`df.stat.countMinSketch` — partial sketches
+    * merge associatively, the only frequency-estimate shape that works
+    * at 100 TB), then each heavy hitter's estimate is checked against
+    * the CMS guarantee: exact ≤ estimate ≤ exact + ε·N. The oracle pins
+    * the exact counts (engine-independent) and the bound verdict as a
+    * literal — a sketch regression breaks the hash even though the
+    * estimates themselves are hash-seed-dependent. Driver-side state is
+    * the finished O(k) sketch + 3 group rows, never data. [oracle:
+    * exact side + literal bound]
+    */
+  def q66_countmin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir).lineitem
+    val eps = 0.001
+    val cms = li.stat.countMinSketch("l_returnflag", eps, 0.99, 42)
+    val exact = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
+      .collect().map(r => (r.getString(0), r.getLong(1))) // 3 rows, O(k)
+    val n = exact.map(_._2).sum
+    exact.toSeq.map { case (k, ex) =>
+      val est = cms.estimateCount(k)
+      (k, ex, est >= ex && est <= ex + (eps * n).toLong + 1)
+    }.toDF("l_returnflag", "n_exact", "bound_ok").orderBy("l_returnflag")
+  }
+
+  /** Oracle for q66: exact frequencies + the pinned bound verdict. */
+  val q66_oracle: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS bound_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** q51_resample — time-series regularization: aggregate events onto an
     * hourly grid, MATERIALIZE the gaps (sequence+explode per user — rows
     * that don't exist in the source), and forward-fill each gap with the

@@ -111,6 +111,61 @@ object Snapshots {
     write(read(spark, table).repartition(parts), table)
   }
 
+  /** q64_snapshot — the snapshot-table lifecycle as one oracle-checked
+    * entry: commit v0 (full nation), publish v1 (a filtered refresh),
+    * `compact` the current version into right-sized files AS v2 (same
+    * rows — compaction is just another commit), then `vacuum` down to the
+    * last two versions. Emitted per version: row count + key checksum
+    * read back THROUGH time travel, whether the manifest points at it,
+    * and whether its bytes still exist after the vacuum. The oracle
+    * recomputes every number from the nation table — proving time-travel
+    * reads return exactly the rows each version committed, v0's physical
+    * removal, and the pointer landing on the compacted v2. [oracle]
+    */
+  def q64_snapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_q64_")
+      .toString + "/nation_snap"
+    val nation = graft.Tables(spark, dir).nation
+    write(nation, table) // v0
+    write(nation.filter(col("n_regionkey") < 3), table) // v1: refresh
+    compact(spark, table, targetFileBytes = 1L << 20) // v2 == v1 rows
+    // read each version's stats back through the time-travel API BEFORE
+    // the vacuum (v0's bytes are about to be reclaimed)
+    def stats(v: Long): (Long, Long) = {
+      val r = read(spark, table, Some(v))
+        .agg(count(lit(1)), sum(col("n_nationkey").cast("long"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val perVersion = (0L to 2L).map(v => v -> stats(v)).toMap
+    vacuum(table, keepLast = 2) // reclaims v0 only
+    val f = fs(new Path(table))
+    val cur = currentVersion(table).getOrElse(-1L)
+    (0L to 2L).map { v =>
+      val (n, ksum) = perVersion(v)
+      (v, n, ksum, cur == v, f.exists(new Path(table, s"v=$v")))
+    }.toDF("version", "n_rows", "key_sum", "is_current", "available")
+      .orderBy("version")
+  }
+
+  /** DuckDB oracle for q64: every snapshot number recomputed from the
+    * source table (v1 and the compacted v2 carry identical rows).
+    */
+  val q64_oracle: String =
+    """WITH full_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+      |                      CAST(SUM(n_nationkey) AS BIGINT) AS s FROM nation),
+      |     filt AS (SELECT CAST(COUNT(*) AS BIGINT) AS c,
+      |                     CAST(SUM(n_nationkey) AS BIGINT) AS s
+      |              FROM nation WHERE n_regionkey < 3)
+      |SELECT CAST(0 AS BIGINT) AS version, c AS n_rows, s AS key_sum,
+      |       FALSE AS is_current, FALSE AS available FROM full_t
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), c, s, FALSE, TRUE FROM filt
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), c, s, TRUE, TRUE FROM filt
+      |ORDER BY version""".stripMargin
+
   /** Drop version directories older than `keepLast` versions behind the
     * current pointer. Explicit, never automatic: readers pinned to an
     * old version keep working until an operator decides otherwise.

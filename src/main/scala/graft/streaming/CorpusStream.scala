@@ -66,6 +66,43 @@ object CorpusStream {
       .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
   }
 
+  /** q65_dedup_index — the [[incrementalDedupBatch]] path as an
+    * oracle-checked BATCH entry: the documents table arrives as three
+    * deterministic "micro-batches" (doc_id mod 3, in order), each
+    * anti-joining the parquet dedup index the previous batches built and
+    * appending its own survivors as its partition. The emitted per-batch
+    * survivor counts equal "distinct texts whose FIRST batch is b" — the
+    * cross-batch first-occurrence-wins contract the streaming spec
+    * proves for replay; here the whole construction is hash-checked
+    * against DuckDB recomputing it from text equality (fp = xxhash64 of
+    * the text stands in for text identity exactly as d1's dedup does).
+    * Scale shape: each batch does one partition-pruned anti-join against
+    * the index (never corpus×corpus), identical to the 100 TB streaming
+    * deployment. [oracle]
+    */
+  def q65_dedup_index(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val index = java.nio.file.Files.createTempDirectory("graft_q65_")
+      .toString + "/dedup_index"
+    (0L until 3L).foreach { b =>
+      incrementalDedupBatch(index)(docs.filter(pmod(col("doc_id"), lit(3)) === b), b)
+    }
+    spark.read.parquet(index)
+      .groupBy(col("batch").cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("batch")
+  }
+
+  /** DuckDB oracle for q65: first-batch-wins dedup recomputed from text
+    * equality.
+    */
+  val q65_oracle: String =
+    """WITH firstb AS (
+      |  SELECT text, MIN(doc_id % 3) AS batch FROM documents GROUP BY text
+      |)
+      |SELECT CAST(batch AS BIGINT) AS batch, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM firstb GROUP BY batch ORDER BY batch""".stripMargin
+
   /** foreachBatch body: enrich each micro-batch against the CURRENT
     * version of a [[graft.sources.Snapshots]] dimension table and
     * record which version served it. The streaming side of the
