@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for LOCAL scale validation (SURVEY §5 / VERDICT r4
+  * item 3): replicate a driver testdata dir `factor`× with disjoint key
+  * spaces, so every plan shape can be measured at sf1 (6M lineitem) on
+  * this machine without touching the read-only driver data.
+  *
+  * Copy 0 is the identity, so sf1 ⊇ sf0.1 row-for-row. Referential
+  * integrity holds per copy: order/customer/supplier/part/user/doc/vec
+  * keys all shift by copy-sized offsets, and nation/region (fixed 25/5
+  * dimensions at every TPC-H SF) stay shared. Text and embedding copies
+  * are ROTATED (tokens by i, dims by i), not duplicated verbatim —
+  * verbatim copies would add 10 exact dups of every doc and make the
+  * dedup/ANN entries structurally denser than any real corpus, hiding
+  * exactly the super-linear candidate blowups this data exists to
+  * reveal; rotation keeps each copy's internal dup/near-dup density
+  * identical to the original.
+  *
+  * This is a test-harness tool, not an operator: determinism matters
+  * (same input → same sf1 bytes), realism of the marginal distribution
+  * does not.
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.builder("graft-scalegen", s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // events goes through Tables: its parquet carries ns-precision
+    // timestamps Spark won't read raw; Tables truncates to micros, so the
+    // generated copy is directly readable everywhere
+    def read(t: String) =
+      if (t == "events") Tables(spark, src).events
+      else spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    def scaled(t: String)(mut: (DataFrame, Int) => DataFrame): DataFrame = {
+      val base = read(t)
+      (0 until factor).map(i => mut(base, i)).reduce(_ unionByName _)
+    }
+    def shift(df: DataFrame, c: String, by: Long): DataFrame =
+      df.withColumn(c, col(c) + lit(by))
+
+    // key-space strides: larger than any key at the source SF ×factor
+    val ORD = 100000000L; val CUST = 10000000L; val SUPP = 1000000L
+    val PART = 10000000L; val EVT = 10000000L; val USER = 1000000L
+    val DOC = 1000000L; val VEC = 1000000L
+
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    write(scaled("customer") { (df, i) => shift(df, "c_custkey", i * CUST) },
+      "customer", 4)
+    write(scaled("supplier") { (df, i) => shift(df, "s_suppkey", i * SUPP) },
+      "supplier", 2)
+    write(scaled("part") { (df, i) => shift(df, "p_partkey", i * PART) },
+      "part", 4)
+    write(scaled("orders") { (df, i) =>
+      shift(shift(df, "o_orderkey", i * ORD), "o_custkey", i * CUST)
+    }, "orders", 8)
+    write(scaled("lineitem") { (df, i) =>
+      shift(shift(shift(df, "l_orderkey", i * ORD), "l_suppkey", i * SUPP),
+        "l_partkey", i * PART)
+    }, "lineitem", 16)
+    write(scaled("events") { (df, i) =>
+      shift(shift(df, "event_id", i * EVT), "user_id", i * USER)
+    }, "events", 8)
+
+    // documents: rotate the token stream by i (copy 0 untouched) — same
+    // tokens, same within-copy duplicate structure, different shingles
+    // across copies; n_chars re-derived from the rotated text
+    write(scaled("documents") { (df, i) =>
+      val rotated =
+        if (i == 0) df
+        else df.withColumn("text",
+          expr(s"""concat_ws(' ',
+                  |  concat(slice(split(text, ' '), $i + 1,
+                  |               greatest(size(split(text, ' ')) - $i, 0)),
+                  |         slice(split(text, ' '), 1,
+                  |               least($i, size(split(text, ' '))))))""".stripMargin))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      shift(rotated, "doc_id", i * DOC)
+    }, "documents", 4)
+
+    // embeddings: rotate dimensions by i — norms preserved, directions
+    // decorrelated across copies, within-copy neighbor structure intact
+    write(scaled("embeddings") { (df, i) =>
+      val rotated =
+        if (i == 0) df
+        else df.withColumn("embedding",
+          expr(s"""concat(slice(embedding, ${i % 64} + 1, 64 - ${i % 64}),
+                  |       slice(embedding, 1, ${i % 64}))""".stripMargin)
+            .cast("array<float>"))
+      shift(rotated, "vec_id", i * VEC)
+    }, "embeddings", 2)
+
+    println(s"scalegen done: $out at ${factor}x of $src")
+    spark.stop()
+  }
+}

@@ -36,8 +36,13 @@ object Profile {
     // narrow inputs to the cluster's parallelism first; a 100 TB table
     // already has thousands of splits and skips this shuffle.
     val par = spark.sparkContext.defaultParallelism
-    val src =
-      if (df.rdd.getNumPartitions < par / 2) df.repartition(par) else df
+    // "narrow input" decided from optimizer statistics (bytes /
+    // maxPartitionBytes ≈ scan tasks) — df.rdd.getNumPartitions would
+    // instantiate the full RDD lineage just to ask the same question
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val approxTasks =
+      (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart).toLong + 1
+    val src = if (approxTasks < par / 2) df.repartition(par) else df
     val row = src.agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*).collect().head
     val nRows = row.getAs[Long]("__rows")
     df.schema.fields.map { f =>
