@@ -373,6 +373,71 @@ object Dedup {
       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY jaccard DESC, id_a ASC, id_b ASC""".stripMargin
 
+  /** d9_containment — DIRECTIONAL near-dup detection by shingle
+    * CONTAINMENT (Broder's containment coefficient):
+    * C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. The measure for the asymmetric
+    * crawl cases Jaccard under-reads — a short doc quoted whole inside a
+    * long one scores C(short→long) ≈ 1 while Jaccard ≈ |short|/|long|
+    * stays far below any dedup threshold. Candidates come from the same
+    * df-capped inverted shingle index as d4 (bounded fan-out, never
+    * all-pairs); each surviving unordered pair emits up to two directed
+    * rows (src contained in dst at ≥ 0.8). Fully deterministic integer
+    * arithmetic — hash-checked against the DuckDB mirror. [oracle]
+    */
+  def d9_containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .persistTracked
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = inv.groupBy("shingle").count()
+      .filter(col("count").between(2, 20)).select("shingle")
+    val posting = inv.join(rare, Seq("shingle"), "left_semi")
+    val cand = posting.as("l")
+      .join(posting.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    val joined = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    joined.select(explode(array(
+        struct(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+          round(col("inter").cast("double") / col("n_a"), 4).as("containment")),
+        struct(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+          round(col("inter").cast("double") / col("n_b"), 4).as("containment")))).as("e"))
+      .select("e.*")
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("containment").desc, col("src_id").asc, col("dst_id").asc)
+  }
+
+  /** DuckDB mirror of d9: d4's index, directional containment emit. */
+  val d9_oracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+      |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |    ELSE [array_to_string(toks, ' ')] END) AS shingles
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM documents)),
+      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20),
+      |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
+      |         JOIN (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) r
+      |           ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+      |         GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b,
+      |        len(list_intersect(a.shingles, b.shingles)) AS inter,
+      |        len(a.shingles) AS n_a, len(b.shingles) AS n_b
+      |      FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b),
+      |d AS (
+      |  SELECT id_a AS src_id, id_b AS dst_id,
+      |         round(CAST(inter AS DOUBLE) / n_a, 4) AS containment FROM j
+      |  UNION ALL
+      |  SELECT id_b, id_a, round(CAST(inter AS DOUBLE) / n_b, 4) FROM j)
+      |SELECT src_id, dst_id, containment FROM d WHERE containment >= 0.8
+      |ORDER BY containment DESC, src_id ASC, dst_id ASC""".stripMargin
+
   /** d7_dedup_editdist — EDIT-DISTANCE near-dup detection: the dedup
     * family for OCR noise / small in-place corruptions, where token-set
     * measures (Jaccard, MinHash) under-read similarity because every

@@ -23,6 +23,12 @@ final case class MediaFeatures(
     checksum: Long,
     feature: Array[Float])     // extracted feature vector
 
+final case class ResizedImage(
+    doc_id: Long,
+    src_w: Int, src_h: Int,    // before
+    dst_w: Int, dst_h: Int,    // after (aspect-preserving fit, no upscale)
+    out_bytes: Long)           // re-encoded size (PNG) / raw-frame estimate (stub)
+
 /** Multimodal-column plumbing (SURVEY §2C m1). PNG payloads take a REAL
   * decode path (`javax.imageio` — pure JVM, no native codecs needed);
   * other formats (jpeg/wav/mp4 need libs absent from this container)
@@ -200,6 +206,88 @@ object Multimodal {
         sum((col("width") * col("height")).cast("long")).cast("long").as("total_pixels"),
         max(col("sample_rate")).cast("long").as("max_rate"))
       .orderBy("modality")
+
+  /** Aspect-preserving fit of (w, h) into a `box`×`box` square, integer
+    * arithmetic (truncating division — floors for positive dims, same in
+    * SQL `//`), never upscaling, never collapsing a dimension below 1.
+    */
+  private[ops] def fitDims(w: Int, h: Int, box: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= box) (w, h)
+    else (math.max(1, w * box / m), math.max(1, h * box / m))
+  }
+
+  /** Batched partition-wise image resize. PNG payloads resize FOR REAL
+    * (decode via javax.imageio → Graphics2D bilinear scale → PNG
+    * re-encode — pure JVM); formats whose codecs this container lacks
+    * keep the stub: target dims from the typed metadata via the same
+    * [[fitDims]] arithmetic, out_bytes = the raw-RGB frame estimate.
+    * Same mapPartitions discipline as [[extractFeatures]] (scaler state
+    * init once per partition, streaming iterator, payloads never in a
+    * shuffle key).
+    */
+  def resizeImages(media: Dataset[MediaRow], box: Int = 224): Dataset[ResizedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "image").mapPartitions { rows =>
+      // [real build: decoder + scaler handles init here, once per partition]
+      rows.map { r =>
+        val real = scala.util.Try(
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload)))
+        ).toOption.flatten.map { img =>
+          val (dw, dh) = fitDims(img.getWidth, img.getHeight, box)
+          val dst = new java.awt.image.BufferedImage(
+            dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, dw, dh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          ResizedImage(r.doc_id, img.getWidth, img.getHeight, dw, dh, bos.size().toLong)
+        }
+        real.getOrElse {
+          val (dw, dh) = fitDims(r.width, r.height, box)
+          ResizedImage(r.doc_id, r.width, r.height, dw, dh, dw.toLong * dh * 3)
+        }
+      }
+    }
+  }
+
+  /** m4_resize — the resize stage of image ingest as an oracle-checked
+    * entry: every image asset flows through [[resizeImages]]'s real
+    * partition-wise path, and the emitted contract (source dims, target
+    * dims, output-size estimate) is recomputed by the oracle from the
+    * metadata formulas — pinning the aspect-preserving integer
+    * arithmetic (no upscale, truncating division, ≥1 px) cross-engine.
+    * [oracle]
+    */
+  def m4_resize(spark: SparkSession, dir: String): DataFrame =
+    resizeImages(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("src_w").cast("long").as("src_w"),
+        col("src_h").cast("long").as("src_h"),
+        col("dst_w").cast("long").as("dst_w"),
+        col("dst_h").cast("long").as("dst_h"), col("out_bytes"))
+      .orderBy("doc_id")
+
+  /** DuckDB mirror of m4: metadata dims + the same fit arithmetic. */
+  val m4_oracle: String =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CAST((doc_id % 64) * 16 + 16 AS BIGINT) AS src_w,
+      |    CAST((doc_id % 48) * 16 + 16 AS BIGINT) AS src_h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |f AS (
+      |  SELECT doc_id, src_w, src_h, GREATEST(src_w, src_h) AS m FROM img),
+      |d AS (
+      |  SELECT doc_id, src_w, src_h,
+      |    CASE WHEN m <= 224 THEN src_w ELSE GREATEST(1, src_w * 224 // m) END AS dst_w,
+      |    CASE WHEN m <= 224 THEN src_h ELSE GREATEST(1, src_h * 224 // m) END AS dst_h
+      |  FROM f)
+      |SELECT doc_id, src_w, src_h, dst_w, dst_h,
+      |  dst_w * dst_h * 3 AS out_bytes
+      |FROM d ORDER BY doc_id""".stripMargin
 
   /** m3_frame_sample — video frame sampling: for each video asset, emit a
     * uniform-stride subset of frame indices (~8 samples: stride =

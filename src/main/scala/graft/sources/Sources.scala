@@ -124,6 +124,94 @@ object Sources {
     base.join(updates.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(updates)
 
+  /** Shared money-aggregation discipline (SURVEY §4): decimal sum is
+    * shuffle-order-independent, the rounded double is the same
+    * nearest-double on both engines.
+    */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    round(sum(c.cast("decimal(18,4)")), 2).cast("double")
+  }
+
+  /** q67_upsert — the MERGE-style refresh primitive as an oracle-checked
+    * entry: a deterministic change set (every 10th order re-priced with
+    * status U; every 1000th order re-keyed into a new-key region with
+    * status N) upserts into the orders table, and the merged result is
+    * aggregated per status. The oracle reconstructs the identical merge
+    * with NOT IN + UNION ALL — proving [[upsert]]'s anti-join+union is
+    * exactly MERGE semantics (update existing keys, insert new ones).
+    * Scale shape: the anti join is the only wide stage, shuffling on the
+    * merge key once (bucketed base+updates make it shuffle-free). [oracle]
+    */
+  def q67_upsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables(spark, dir).orders
+    val mutated = o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val fresh = o.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+      .withColumn("o_orderstatus", lit("N"))
+    upsert(o, mutated.unionByName(fresh), "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** DuckDB oracle for q67: the same merge as set algebra. */
+  val q67_oracle: String =
+    """WITH updates AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 20000000, 'N', o_totalprice
+      |  FROM orders WHERE o_orderkey % 1000 = 0
+      |), merged AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+      |  UNION ALL SELECT * FROM updates
+      |)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q68_bucketed_join — the co-located fact⋈fact join as an
+    * oracle-checked entry: orders and lineitem are written as BUCKETED
+    * tables on the join key (8 buckets, sorted), then joined and
+    * aggregated. With both sides bucketed the same way the join reads
+    * co-located buckets and plans NO shuffle exchange (PlanSpec pins
+    * that) — the pre-partitioning strategy that amortizes the shuffle of
+    * a repeating 100 TB fact join into the write path, once. The oracle
+    * is the plain join in DuckDB: bucketing must change the plan, never
+    * the result. [oracle] + PlanSpec
+    */
+  def q68_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = graft.Tables(spark, dir)
+    writeBucketed(t.orders.select("o_orderkey", "o_orderpriority"),
+      "q68_orders_b", "o_orderkey", 8)
+    writeBucketed(
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice"))
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "q68_lineitem_b", "o_orderkey", 8)
+    // merge hint pins the sort-merge strategy so what the entry measures
+    // is bucketing removing the shuffle, not the optimizer broadcasting
+    // a small-SF side (at 100 TB neither side broadcasts)
+    spark.table("q68_lineitem_b")
+      .join(spark.table("q68_orders_b").hint("merge"), Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** DuckDB oracle for q68: the same join unbucketed. */
+  val q68_oracle: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Bucketed + sorted table: rows are hash-distributed into `buckets`
     * files by `bucketCol` at write time. Joins/aggregations on that key
     * then read co-located data and skip the shuffle — the pre-partitioning

@@ -3,6 +3,7 @@ package graft
 import graft.queries.Relational
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Physical-plan audits (SURVEY §5): these lock in the *shape* that makes
   * the queries scale — filters and projections reaching the parquet scan,
@@ -190,6 +191,26 @@ class PlanSpec extends SparkSpec {
     val full = recordsRead { Relational.q63_recursive(spark, sfDir).count() }
     assert(full < edgesOnly * 1.5 + 100000,
       s"q63 must read ~one edges pass: full=$full vs edgesOnly=$edgesOnly")
+  }
+
+  test("q68: bucketed fact join plans zero join-input shuffles") {
+    val bucketed = formatted(graft.sources.Sources.q68_bucketed_join(spark, sfDir))
+    assert(bucketed.contains("SortMergeJoin"),
+      "co-located join expected (not broadcast) so bucketing is what kills the shuffle")
+    // the unbucketed twin of the same query shuffles BOTH join inputs;
+    // bucketing must remove exactly those two exchanges (the agg/sort
+    // tail exchanges after the join are the same in both plans)
+    val t = Tables(spark, sfDir)
+    val plain = formatted(
+      t.lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+        .join(t.orders.select("o_orderkey", "o_orderpriority").hint("merge"),
+          Seq("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority"))
+    val nb = nodeCount(bucketed, "Exchange")
+    val np = nodeCount(plain, "Exchange")
+    assert(np - nb >= 2,
+      s"bucketing must remove both join-input shuffles: bucketed=$nb plain=$np")
   }
 
   test("q46: explicit grouping sets plan one Expand over one scan") {

