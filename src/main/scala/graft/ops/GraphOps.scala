@@ -66,6 +66,60 @@ object GraphOps {
     ranks.select(col("nation"), col("r").as("pagerank")).orderBy("nation")
   }
 
+  /** g2_triangles — per-node triangle counts on the (undirected) trade
+    * graph: how many closed trade triples each nation participates in —
+    * the clustering/cohesion statistic next to g1's centrality. Shape:
+    * edges are ORIENTED by node id (a < b, each undirected edge kept
+    * once), and triangles enumerate as the oriented 3-path
+    * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — each triangle found
+    * exactly once, never 6 rotations; the heavy work at 100 TB is the
+    * same contracted-edge aggregation g1 checkpoints, and the triangle
+    * joins run on the contracted graph. All-integer → hash-exact
+    * cross-engine. [oracle]
+    */
+  def g2_triangles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // undirected, oriented edge set from the directed trade edges; only
+    // HEAVY lanes (≥120 lineitems) qualify — the 25-nation graph is near
+    // complete otherwise and every statistic degenerates to C(n-1, 2)
+    val und = tradeEdges(t).filter(col("w") >= 120)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // contracted: reused by three join branches
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("nation"))
+      .groupBy("nation").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("nation")
+  }
+
+  /** DuckDB mirror of g2: identical orientation and 3-path join. */
+  val g2_oracle: String =
+    """WITH ed AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 120),
+      |e AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      |  FROM ed WHERE src <> dst),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (
+      |  SELECT x AS nation FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT CAST(nation AS BIGINT) AS nation,
+      |       CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM n GROUP BY nation ORDER BY nation""".stripMargin
+
   val g1_oracle: String =
     """WITH RECURSIVE
       |e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w

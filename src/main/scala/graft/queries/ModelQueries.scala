@@ -256,6 +256,60 @@ object ModelQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** a7_selectors — the dbt-style `--select` graph algebra as an
+    * oracle-checked entry: a fixed diamond DAG (two sources → a joined
+    * table → two reporting views) expanded under every selector form the
+    * CLI accepts (`m`, `+m`, `m+`, `+m+`, comma unions). The emitted
+    * (selector, model) rows ARE the selection contract — pinned as
+    * literals, so a regression in ancestor/descendant closure or union
+    * semantics breaks the hash. Dependency edges come from the real
+    * parsed plans (UnresolvedRelation collection), not hand-declared
+    * metadata, so the entry also guards dependency extraction. [oracle]
+    */
+  def a7_selectors(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW sel_src_a AS
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders;
+        |CREATE VIEW sel_src_b AS
+        |  SELECT c_custkey, c_mktsegment FROM customer;
+        |CREATE TABLE sel_mid AS
+        |  SELECT c_mktsegment, o_totalprice
+        |  FROM sel_src_a JOIN sel_src_b ON o_custkey = c_custkey;
+        |CREATE VIEW sel_out_1 AS
+        |  SELECT c_mktsegment, COUNT(*) AS n FROM sel_mid GROUP BY c_mktsegment;
+        |CREATE VIEW sel_out_2 AS
+        |  SELECT MAX(o_totalprice) AS max_price FROM sel_mid
+        |""".stripMargin)
+    val deps = new ModelEngine(spark).dependencies(models)
+    import spark.implicits._
+    Seq("sel_mid", "+sel_mid", "sel_mid+", "+sel_out_1", "sel_src_a+,sel_out_2")
+      .flatMap(sel => Selector.expand(deps, sel).toSeq.map(m => (sel, m)))
+      .toDF("selector", "model")
+      .orderBy("selector", "model")
+  }
+
+  /** The pinned selection contract for a7's diamond DAG. */
+  val a7_oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('sel_mid',             'sel_mid'),
+      |  ('+sel_mid',            'sel_mid'),
+      |  ('+sel_mid',            'sel_src_a'),
+      |  ('+sel_mid',            'sel_src_b'),
+      |  ('sel_mid+',            'sel_mid'),
+      |  ('sel_mid+',            'sel_out_1'),
+      |  ('sel_mid+',            'sel_out_2'),
+      |  ('+sel_out_1',          'sel_mid'),
+      |  ('+sel_out_1',          'sel_out_1'),
+      |  ('+sel_out_1',          'sel_src_a'),
+      |  ('+sel_out_1',          'sel_src_b'),
+      |  ('sel_src_a+,sel_out_2','sel_mid'),
+      |  ('sel_src_a+,sel_out_2','sel_out_1'),
+      |  ('sel_src_a+,sel_out_2','sel_out_2'),
+      |  ('sel_src_a+,sel_out_2','sel_src_a')
+      |) t(selector, model)
+      |ORDER BY selector, model""".stripMargin
+
   val a3_oracle: String =
     """SELECT * FROM (
       |  SELECT 'order totalprice should be positive' AS test,

@@ -35,7 +35,11 @@ class EmptyInputSpec extends SparkSpec {
       "t2_quality", "t8_vocab", "t15_stratified_sample", "t16_lm_surprisal",
       "t17_domain_mix", "m2_media_stats", "m3_frame_sample",
       "q55_concurrency", "q57_zorder", "q58_sliding_window",
-      "q59_skew_report", "q60_variant", "g1_pagerank", "t18_boilerplate")
+      "q59_skew_report", "q60_variant", "g1_pagerank", "t18_boilerplate",
+      // round-5 additions: containment dedup, resize, upsert, bucketed
+      // join, count-min, dedup index — all must survive zero-row inputs
+      "d9_containment", "m4_resize", "q67_upsert", "q68_bucketed_join",
+      "q66_countmin", "q65_dedup_index")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()
