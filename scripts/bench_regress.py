@@ -14,6 +14,13 @@ Exit code 1 if any entry regressed more than the threshold (entries
 faster than --min-seconds in the baseline are reported but never fatal —
 sub-second timings are dominated by scheduling noise).
 
+When the BASELINE carries a per-entry "variance" map (bench_min3.py's
+min→max spread across its runs), an entry is additionally noise-exempt
+while its delta stays inside 2× its own measured spread — the
+signal/noise boundary VERDICT r5 item 4 asked for: d7's 2.2× driver
+swing sat entirely inside a ±1 s machine envelope that a bare ratio
+threshold cannot see.
+
 Both file shapes are accepted:
   - driver artifact: {"n":…,"rc":…,"tail":"…json line…"} (the JSON line
     is recovered from the tail; a truncated head is tolerated)
@@ -47,7 +54,8 @@ def load_queries(path):
         qs = {short_id(k): v for k, v in doc["queries"].items()}
         if len(qs) != len(doc["queries"]):
             sys.exit(f"{path}: short-id collision would silently merge entries")
-        return qs, float(doc.get("value", sum(qs.values())))
+        var = {short_id(k): v for k, v in doc.get("variance", {}).items()}
+        return qs, float(doc.get("value", sum(qs.values()))), var
     # driver artifact: the bench line lives (possibly truncated) in "tail"
     tail = doc.get("tail", "") if isinstance(doc, dict) else ""
     m = re.search(r'"queries":\{([^}]*)\}', tail)
@@ -68,7 +76,7 @@ def load_queries(path):
     total = float(tm.group(1)) if tm else sum(pairs.values())
     if not pairs:
         sys.exit(f"could not recover any per-query timings from {path}")
-    return pairs, total
+    return pairs, total, {}
 
 
 def main():
@@ -81,8 +89,8 @@ def main():
                     help="baseline entries faster than this are noise-exempt")
     args = ap.parse_args()
 
-    base, base_total = load_queries(args.baseline)
-    cur, cur_total = load_queries(args.current)
+    base, base_total, base_var = load_queries(args.baseline)
+    cur, cur_total, _ = load_queries(args.current)
 
     common = sorted(set(base) & set(cur))
     print(f"baseline: {len(base)} entries ({base_total:.1f}s total)  "
@@ -98,9 +106,17 @@ def main():
         b, c = base[name], cur[name]
         ratio = c / b if b > 0 else float("inf")
         if ratio > args.threshold:
-            tag = "REGRESS" if b >= args.min_seconds else "regress(noise-exempt)"
-            print(f"  {tag:<22} {name:<22} {b:7.2f}s -> {c:7.2f}s  ({ratio:.2f}x)")
-            if b >= args.min_seconds:
+            envelope = 2 * base_var.get(name, 0.0)
+            in_noise = envelope > 0 and (c - b) <= envelope
+            if b < args.min_seconds:
+                tag = "regress(noise-exempt)"
+            elif in_noise:
+                tag = "regress(in-envelope)"
+            else:
+                tag = "REGRESS"
+            extra = f"  [spread ±{base_var[name]:.2f}s]" if name in base_var else ""
+            print(f"  {tag:<22} {name:<22} {b:7.2f}s -> {c:7.2f}s  ({ratio:.2f}x){extra}")
+            if b >= args.min_seconds and not in_noise:
                 fatal.append(name)
         elif ratio < 1 / args.threshold and b >= args.min_seconds:
             print(f"  improved               {name:<22} {b:7.2f}s -> {c:7.2f}s  ({ratio:.2f}x)")

@@ -84,8 +84,14 @@ object WarehouseDialect {
       require(depth < 64, s"view dependency chain too deep at $name")
       for (sql <- dropStatements(name)) {
         var retry = true
-        while (retry) {
+        // retries bounded per STATEMENT, not just recursion depth: if a
+        // dependent view's drop keeps failing for a non-dependency reason
+        // (lock, permission) the same statement would otherwise respin
+        // forever on the same dependent-view message
+        var retriesLeft = 64
+        while (retry && retriesLeft > 0) {
           retry = false
+          retriesLeft -= 1
           val st = conn.createStatement()
           try st.execute(sql)
           catch {

@@ -79,10 +79,18 @@ object GraphOps {
     */
   def g2_triangles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // undirected, oriented edge set from the directed trade edges; only
-    // HEAVY lanes (≥120 lineitems) qualify — the 25-nation graph is near
-    // complete otherwise and every statistic degenerates to C(n-1, 2)
-    val und = tradeEdges(t).filter(col("w") >= 120)
+    val ed = tradeEdges(t)
+      .localCheckpoint(true) // contracted: reused by threshold + edge set
+    // only HEAVY lanes qualify — the 25-nation graph is near complete
+    // otherwise and every statistic degenerates to C(n-1, 2). The cut is
+    // the exact 75th percentile of lane weights (NOT a literal tuned to
+    // one SF): exact linear interpolation over integer weights is
+    // bit-identical to DuckDB's quantile_cont (fractions are powers of
+    // 1/4, exactly representable), so both engines keep the same edges
+    // at EVERY scale factor and the entry is never empty. The 1-row
+    // collect is O(1) driver state, same class as the bloom literal.
+    val thr = ed.agg(expr("percentile(w, 0.75)").as("thr")).first().getDouble(0)
+    val und = ed.filter(col("w") >= thr)
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
@@ -97,14 +105,19 @@ object GraphOps {
       .orderBy("nation")
   }
 
-  /** DuckDB mirror of g2: identical orientation and 3-path join. */
+  /** DuckDB mirror of g2: identical orientation, 3-path join, and the
+    * same exact-interpolated 75th-percentile heavy-lane cut.
+    */
   val g2_oracle: String =
-    """WITH ed AS (
-      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+    """WITH edw AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= 120),
+      |  GROUP BY 1, 2),
+      |ed AS (
+      |  SELECT src, dst FROM edw
+      |  WHERE w >= (SELECT quantile_cont(w, 0.75) FROM edw)),
       |e AS (
       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       |  FROM ed WHERE src <> dst),

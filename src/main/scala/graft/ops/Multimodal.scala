@@ -30,8 +30,9 @@ final case class ResizedImage(
     out_bytes: Long)           // re-encoded size (PNG) / raw-frame estimate (stub)
 
 /** Multimodal-column plumbing (SURVEY §2C m1). PNG payloads take a REAL
-  * decode path (`javax.imageio` — pure JVM, no native codecs needed);
-  * other formats (jpeg/wav/mp4 need libs absent from this container)
+  * decode path (`javax.imageio`) and WAV payloads a real one too
+  * (`javax.sound.sampled`) — both pure JVM, no native codecs needed;
+  * other formats (jpeg/mp4 need libs absent from this container)
   * fall back to a clearly-marked deterministic stub. Everything
   * Spark-side is real and load-bearing either way: the typed schema, the
   * batched partition-wise extraction (the Scala analogue of
@@ -87,18 +88,79 @@ object Multimodal {
       out
     }
 
+  private def isWav(payload: Array[Byte]): Boolean =
+    payload.length > 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+
+  /** Real decode for WAV bytes (`javax.sound.sampled` — pure JVM, same
+    * zero-dependency argument as the PNG path): 8-dim feature =
+    * [sample rate, channels, bits/sample, frame count, duration seconds,
+    * mean |amplitude|, peak |amplitude|, sampled frame count]. Amplitude
+    * stats come from the FIRST ≤4096 frames (16/8-bit PCM) — a bounded
+    * deterministic prefix, so decode cost per asset is O(1) no matter
+    * the clip length, the same contract as [[extractPng]]'s stride cap.
+    */
+  private def extractWav(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    scala.util.Try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val sampleFrames = math.min(frames, 4096L).toInt
+        val buf = new Array[Byte](sampleFrames * fmt.getFrameSize)
+        var read = 0
+        var r = ais.read(buf, 0, buf.length)
+        while (r > 0 && read + r < buf.length) { read += r; r = ais.read(buf, read, buf.length - read) }
+        if (r > 0) read += r
+        var sumAbs = 0.0; var peak = 0.0; var cnt = 0L
+        val le = !fmt.isBigEndian
+        var i = 0
+        while (i + bits / 8 <= read) {
+          val v =
+            if (bits == 16) {
+              val lo = buf(if (le) i else i + 1) & 0xff
+              val hi = buf(if (le) i + 1 else i)
+              ((hi << 8) | lo).toShort / 32768.0
+            } else (buf(i) & 0xff) / 255.0 * 2 - 1 // 8-bit PCM is unsigned
+          val a = math.abs(v)
+          sumAbs += a; if (a > peak) peak = a; cnt += 1
+          i += bits / 8
+        }
+        val out = new Array[Float](dim)
+        out(0) = fmt.getSampleRate
+        out(1) = ch.toFloat
+        out(2) = bits.toFloat
+        out(3) = frames.toFloat
+        out(4) = if (fmt.getFrameRate > 0) frames / fmt.getFrameRate else 0f
+        out(5) = if (cnt > 0) (sumAbs / cnt).toFloat else 0f
+        out(6) = peak.toFloat
+        out(7) = cnt.toFloat
+        out
+      } finally ais.close()
+    }.toOption
+
   /** Decode + feature extraction: PNG payloads decode for real
-    * (`javax.imageio`); everything else is the STUB fold — a production
-    * build swaps that branch for libjpeg/ffmpeg/soundfile handles (init
+    * (`javax.imageio`) and WAV payloads decode for real
+    * (`javax.sound.sampled`); everything else is the STUB fold — a
+    * production build swaps that branch for libjpeg/ffmpeg handles (init
     * per partition in [[extractFeatures]]). The signature — bytes in,
     * fixed-width float feature out — is the contract the pipeline is
-    * built against; both branches are deterministic on payload bytes so
+    * built against; all branches are deterministic on payload bytes so
     * tests are stable.
     */
   private def decodeAndExtract(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     if (isPng(payload)) extractPng(payload, dim) match {
       case Some(f) => return f
       case None    => () // corrupt PNG: fall through to the byte fold
+    }
+    if (isWav(payload)) extractWav(payload, dim) match {
+      case Some(f) => return f
+      case None    => () // corrupt WAV: fall through to the byte fold
     }
     val out = new Array[Float](dim)
     var i = 0

@@ -40,8 +40,16 @@ object Profile {
     // maxPartitionBytes ≈ scan tasks) — df.rdd.getNumPartitions would
     // instantiate the full RDD lineage just to ask the same question
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val sizeStat = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // stats equal to spark.sql.defaultSizeInBytes mean UNKNOWN (a
+    // non-scan input without CBO stats) — treating Long.MaxValue as
+    // "huge, skip widening" would silently serialize a small in-memory
+    // relation onto one task, so fall back to the physical partition
+    // count there (the cheap planner-side question, no job run)
     val approxTasks =
-      (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPart).toLong + 1
+      if (sizeStat == BigInt(spark.sessionState.conf.defaultSizeInBytes))
+        df.queryExecution.executedPlan.outputPartitioning.numPartitions.toLong max 1L
+      else (sizeStat / maxPart).toLong + 1
     val src = if (approxTasks < par / 2) df.repartition(par) else df
     val row = src.agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*).collect().head
     val nRows = row.getAs[Long]("__rows")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Caching.PersistSyntax
 import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
@@ -510,10 +510,26 @@ object Relational {
   def q63_recursive(spark: SparkSession, dir: String): DataFrame = {
     Tables(spark, dir).registerAll()
     // one edges pass, materialized; eager localCheckpoint cuts lineage so
-    // each recursion step re-reads ~600 contracted rows, never the facts
-    spark.sql(EDGES_TEXT).localCheckpoint().createOrReplaceTempView("trade_edges")
+    // each recursion step re-reads ~600 contracted rows, never the facts.
+    // The view is NAMESPACED (graft_q63_…) so it cannot collide with
+    // user/model views in a shared session, and the PRIOR invocation's
+    // checkpoint blocks are unpersisted eagerly instead of lingering
+    // until ContextCleaner GC.
+    val edges = spark.sql(EDGES_TEXT).localCheckpoint()
+    Option(q63PriorEdges.put(spark, edges)).foreach { old =>
+      GraftColumnShim.logicalPlan(old).collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      }
+    }
+    edges.createOrReplaceTempView("graft_q63_trade_edges")
     spark.sql(RECURSIVE_TEXT)
   }
+
+  /** Per-session handle to the previous q63 checkpoint so re-invocation
+    * frees its blocks immediately (bounded: one entry per live session).
+    */
+  private val q63PriorEdges =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
   /** The contracted-edge aggregation — shared verbatim with the oracle,
     * where it is the non-recursive `trade_edges` CTE.
@@ -535,7 +551,7 @@ object Relational {
       |  SELECT CAST(0 AS BIGINT) AS nation, CAST(0 AS BIGINT) AS hops
       |  UNION ALL
       |  SELECT CAST(e.dst AS BIGINT) AS nation, r.hops + 1 AS hops
-      |  FROM reach r JOIN trade_edges e ON e.src = r.nation
+      |  FROM reach r JOIN graft_q63_trade_edges e ON e.src = r.nation
       |  WHERE r.hops < 3
       |)
       |SELECT nation, MIN(hops) AS min_hops, CAST(COUNT(*) AS BIGINT) AS n_paths
@@ -547,7 +563,7 @@ object Relational {
     */
   val q63_oracle: String = RECURSIVE_TEXT.replace(
     "WITH RECURSIVE\n",
-    s"WITH RECURSIVE\ntrade_edges AS (\n$EDGES_TEXT\n),\n")
+    s"WITH RECURSIVE\ngraft_q63_trade_edges AS (\n$EDGES_TEXT\n),\n")
 
   /** q61_temporal_join — point-in-interval join against the SCD2
     * dimension q48 builds: each event is enriched with the dimension

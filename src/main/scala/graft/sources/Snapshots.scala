@@ -125,8 +125,8 @@ object Snapshots {
   def q64_snapshot(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val table = java.nio.file.Files.createTempDirectory("graft_q64_")
-      .toString + "/nation_snap"
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q64_")
+    val table = scratch.toString + "/nation_snap"
     val nation = graft.Tables(spark, dir).nation
     write(nation, table) // v0
     write(nation.filter(col("n_regionkey") < 3), table) // v1: refresh
@@ -142,11 +142,16 @@ object Snapshots {
     vacuum(table, keepLast = 2) // reclaims v0 only
     val f = fs(new Path(table))
     val cur = currentVersion(table).getOrElse(-1L)
-    (0L to 2L).map { v =>
+    val out = (0L to 2L).map { v =>
       val (n, ksum) = perVersion(v)
       (v, n, ksum, cur == v, f.exists(new Path(table, s"v=$v")))
     }.toDF("version", "n_rows", "key_sum", "is_current", "available")
       .orderBy("version")
+    // everything above was computed eagerly (stats collects, exists
+    // checks) — the scratch lifecycle dir is dead weight now; delete it
+    // so repeated bench/verify runs don't accumulate under /tmp
+    f.delete(new Path(scratch.toString), true)
+    out
   }
 
   /** DuckDB oracle for q64: every snapshot number recomputed from the

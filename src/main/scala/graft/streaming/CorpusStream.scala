@@ -81,16 +81,24 @@ object CorpusStream {
     * deployment. [oracle]
     */
   def q65_dedup_index(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = graft.Tables(spark, dir).documents
-    val index = java.nio.file.Files.createTempDirectory("graft_q65_")
-      .toString + "/dedup_index"
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q65_")
+    val index = scratch.toString + "/dedup_index"
     (0L until 3L).foreach { b =>
       incrementalDedupBatch(index)(docs.filter(pmod(col("doc_id"), lit(3)) === b), b)
     }
-    spark.read.parquet(index)
+    // the per-batch survivor counts are 3 rows — materialize them so the
+    // scratch index can be deleted NOW instead of accumulating a fresh
+    // multi-MB tree under /tmp per bench/verify invocation
+    val counts = spark.read.parquet(index)
       .groupBy(col("batch").cast("long").as("batch"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("batch")
+      .as[(Long, Long)].collect().toSeq
+    val p = new org.apache.hadoop.fs.Path(scratch.toString)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    counts.toDF("batch", "n_docs")
   }
 
   /** DuckDB oracle for q65: first-batch-wins dedup recomputed from text
@@ -134,7 +142,13 @@ object CorpusStream {
       } else current
     val dimRaw = graft.sources.Snapshots.read(spark, dimTable, Some(v))
     // prefix every non-key dim column: a name shared between batch and dim
-    // would otherwise produce duplicate output columns and fail the write
+    // would otherwise produce duplicate output columns and fail the write.
+    // `dim_version` itself is RESERVED — a dim column named `version`
+    // would prefix into it and then be silently clobbered by the pin
+    // below, losing data; fail fast instead of corrupting provenance.
+    require(!dimRaw.columns.exists(c => c != key && s"dim_$c" == "dim_version"),
+      s"dimension $dimTable has a column 'version': it would collide with " +
+        "the reserved provenance column dim_version — rename it upstream")
     val dim = org.apache.spark.sql.functions.broadcast(
       dimRaw.select(col(key) +: dimRaw.columns.filter(_ != key)
         .map(c => col(c).as(s"dim_$c")).toSeq: _*))

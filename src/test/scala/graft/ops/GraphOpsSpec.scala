@@ -20,6 +20,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(mass <= n * 1000000L + n, s"rank mass grew: $mass > ${n * 1000000L}")
   }
 
+  test("g2_triangles: distribution-derived cut keeps the entry non-empty at the smoke SF") {
+    // the r5 regression: a literal w>=120 threshold emptied the oriented
+    // edge set at sf0.001 and broke the driver's rows>0 smoke gate. The
+    // 75th-percentile cut must yield triangles at EVERY SF the harness
+    // runs — pinned here at the smallest one.
+    val rows = GraphOps.g2_triangles(spark, sfDir).collect()
+    assert(rows.nonEmpty, "g2 must return rows at sf0.001")
+    // triangle counts are per-node incidences: each triangle contributes
+    // exactly 3, so the total is divisible by 3 and positive
+    val total = rows.map(_.getLong(1)).sum
+    assert(total > 0 && total % 3 == 0, s"incidence total $total not 3·k")
+  }
+
   test("tradeEdges out-weights cover every customer nation that ordered") {
     val t = Tables(spark, sfDir)
     val edges = GraphOps.tradeEdges(t)

@@ -315,6 +315,47 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(4L).n_bytes == 9L)
   }
 
+  test("m1 real decode: WAV payloads decode through javax.sound.sampled (rate, frames, amplitude)") {
+    import spark.implicits._
+    // synthesize a real 16-bit mono PCM WAV entirely in-JVM: a square
+    // wave of known amplitude so mean|amp| and peak are predictable
+    def wav(rate: Float, frames: Int, amplitude: Short): Array[Byte] = {
+      val data = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val v: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "audio", wav(16000f, 1600, 16384), 0, 0, 16000), // half-scale square
+      MediaRow(2L, "audio", wav(8000f, 8000, 32767), 0, 0, 8000),   // full-scale, 1 s
+      MediaRow(3L, "audio", "RIFFxxxxWAVEtruncated".getBytes("UTF-8"), 0, 0, 0)) // corrupt
+    val feats = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().map(f => f.doc_id -> f).toMap
+    val f1 = feats(1L).feature
+    assert(f1(0) == 16000f && f1(1) == 1f && f1(2) == 16f, s"fmt header: ${f1.toSeq}")
+    assert(f1(3) == 1600f, "frame count must come from the WAV bytes")
+    assert(math.abs(f1(4) - 0.1f) < 1e-4, s"duration 1600/16000 s, got ${f1(4)}")
+    assert(math.abs(f1(5) - 0.5f) < 1e-3 && math.abs(f1(6) - 0.5f) < 1e-3,
+      s"half-scale square: mean=|peak|=0.5, got mean=${f1(5)} peak=${f1(6)}")
+    val f2 = feats(2L).feature
+    assert(f2(0) == 8000f && f2(3) == 8000f && math.abs(f2(4) - 1.0f) < 1e-4)
+    assert(f2(6) > 0.999f, s"full-scale peak ≈ 1, got ${f2(6)}")
+    assert(f2(7) == 4096f, "amplitude stats bounded to the 4096-frame prefix")
+    // corrupt RIFF header degrades to the stub fold, never kills the task
+    assert(feats(3L).feature.length == 8 && feats(3L).n_bytes == 21L)
+  }
+
   test("m4 real resize: PNG payloads rescale through AWT; stubs use metadata dims") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
