@@ -38,7 +38,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=d2,q35,s6 runs a subset (short or full ids) —
+    // for targeted scale spot-runs (e.g. sf10) where generating + timing
+    // the full suite would add nothing; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(s => s(name) || s(shortId(name))) }
     require(ordered.map(p => shortId(p._1)).distinct.size == ordered.size,
       "bench short ids must stay unique — rename the colliding entry")
     // warmup pass (also primes parquet footer caches / broadcast relations)

@@ -90,6 +90,115 @@ object Snapshots {
     spark.read.parquet(s"$table/v=$v")
   }
 
+  /** Change-data-feed between two committed versions: every row of the
+    * `toV` snapshot classified against `fromV` as `insert` / `delete` /
+    * `update` — updates emit BOTH images (`update_pre` / `update_post`),
+    * the CDC convention incremental downstream consumers need to retract
+    * the old contribution and apply the new one. This is the diff a
+    * lakehouse change-data-feed serves without re-reading either table's
+    * history: versions are immutable, so the feed is a pure function of
+    * two scans.
+    *
+    * Shape: ONE full-outer join on `key` (the only wide stage) and one
+    * pass over the joined rows — the four CDC branches materialize from
+    * a single `explode(filter(array(...)))`, never four re-executions of
+    * the join. Row equality is xxhash64 across all columns, computed
+    * scan-side (codegen'd) so the join carries one extra long per side.
+    * At 100 TB both version reads are parquet scans and the join
+    * shuffles each side once on the key; versions written bucketed on
+    * `key` make the diff shuffle-free.
+    */
+  def changes(spark: SparkSession, table: String, fromV: Long, toV: Long,
+              key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pre = read(spark, table, Some(fromV))
+    val cols = pre.columns.toSeq
+    val post = read(spark, table, Some(toV))
+    require(post.columns.toSeq == cols,
+      s"changes($fromV -> $toV) requires identical schemas, " +
+        s"got ${cols.mkString(",")} vs ${post.columns.mkString(",")}")
+    def sided(df: DataFrame, side: String) =
+      df.select(cols.map(c => col(c).as(s"${side}_$c")): _*)
+        .withColumn(s"${side}_rh", xxhash64(cols.map(c => col(s"${side}_$c")): _*))
+    val j = sided(pre, "pre").join(sided(post, "post"),
+      col(s"pre_$key") === col(s"post_$key"), "full_outer")
+    def img(op: String, side: String) =
+      struct(lit(op).as("op") +: cols.map(c => col(s"${side}_$c").as(c)): _*)
+    val updated = col(s"pre_$key").isNotNull && col(s"post_$key").isNotNull &&
+      col("pre_rh") =!= col("post_rh")
+    j.select(explode(filter(array(
+        when(col(s"post_$key").isNull, img("delete", "pre")),
+        when(col(s"pre_$key").isNull, img("insert", "post")),
+        when(updated, img("update_pre", "pre")),
+        when(updated, img("update_post", "post"))), x => x.isNotNull)).as("c"))
+      .select("c.*")
+  }
+
+  /** q69_cdc — the change-data-feed as an oracle-checked entry: v0 =
+    * full customer, v1 = a deterministic mutation (keys ≡0 mod 10
+    * deleted, ≡1 re-priced +100, ≡2 cloned into a new-key region), and
+    * [[changes]] diffs the two versions. The per-op aggregate (count /
+    * key checksum / money sum over both update images) is the pinned
+    * contract; the oracle reconstructs each CDC class directly from the
+    * mutation rules — proving the one-join diff recovers exactly the
+    * applied changes, pre-images included. [oracle]
+    */
+  def q69_cdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q69_")
+    val table = scratch.toString + "/cust_snap"
+    val c = graft.Tables(spark, dir).customer
+    write(c, table) // v0
+    val repriced = c.withColumn("c_acctbal",
+      when(col("c_custkey") % 10 === 1, col("c_acctbal") + 100)
+        .otherwise(col("c_acctbal")))
+    val v1 = repriced.filter(col("c_custkey") % 10 =!= 0)
+      .unionByName(c.filter(col("c_custkey") % 10 === 2)
+        .withColumn("c_custkey", col("c_custkey") + lit(10000000L)))
+    write(v1, table) // v1
+    val rows = changes(spark, table, 0L, 1L, "c_custkey")
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_custkey")).cast("long").as("key_sum"),
+        round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
+          .cast("double").as("bal_sum"))
+      .orderBy("op")
+      .collect() // materialize BEFORE the scratch table is deleted
+    val f = fs(new Path(scratch.toString))
+    f.delete(new Path(scratch.toString), true)
+    rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.toDF("op", "n_rows", "key_sum", "bal_sum")
+  }
+
+  /** DuckDB oracle for q69: each CDC class recomputed from the mutation
+    * rules themselves.
+    */
+  val q69_oracle: String =
+    """WITH del AS (SELECT * FROM customer WHERE c_custkey % 10 = 0),
+      |     upd AS (SELECT * FROM customer WHERE c_custkey % 10 = 1),
+      |     ins AS (SELECT * FROM customer WHERE c_custkey % 10 = 2)
+      |SELECT 'delete' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS bal_sum
+      |FROM del
+      |UNION ALL
+      |SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c_custkey + 10000000) AS BIGINT),
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE)
+      |FROM ins
+      |UNION ALL
+      |SELECT 'update_post', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c_custkey) AS BIGINT),
+      |  CAST(ROUND(SUM(CAST(c_acctbal + 100 AS DECIMAL(18,4))),2) AS DOUBLE)
+      |FROM upd
+      |UNION ALL
+      |SELECT 'update_pre', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(c_custkey) AS BIGINT),
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE)
+      |FROM upd
+      |ORDER BY op""".stripMargin
+
   /** Compact the current version into ~`targetFileBytes` files and
     * commit the result as the NEXT version — same rows, fewer/right-
     * sized files. Small files are the classic 100 TB scan killer (per-

@@ -175,6 +175,60 @@ object Sources {
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue
       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q70_format_roundtrip — the interchange-format readers promoted to
+    * an oracle-checked entry: a lineitem slice is exported to CSV and an
+    * orders slice to JSONL, both are read BACK through [[csv]] /
+    * [[jsonLines]] (explicit schema, never inference), joined and
+    * aggregated. The oracle computes the same aggregate straight from
+    * the parquet tables — so a pass proves the whole
+    * write→serialize→parse→read cycle is LOSSLESS for every type the
+    * slice carries (int64 keys, doubles, strings, timestamps): any
+    * formatting/parsing asymmetry in either format changes the hash.
+    * Scale shape: format conversion is embarrassingly parallel (one
+    * task per file, no shuffle); the join aggregates after, as usual.
+    * [oracle]
+    */
+  def q70_format_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q70_")
+    val t = graft.Tables(spark, dir)
+    val liSlice = t.lineitem.select("l_orderkey", "l_quantity", "l_shipdate")
+    val ordSlice = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    liSlice.write.option("header", "true").csv(s"$scratch/li_csv")
+    ordSlice.write.json(s"$scratch/ord_jsonl")
+    val li = csv(spark, s"$scratch/li_csv", liSlice.schema)
+    val ord = jsonLines(spark, s"$scratch/ord_jsonl", ordSlice.schema)
+    val rows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_quantity")).as("qty_sum"),
+        moneySum(col("o_totalprice")).as("revenue"),
+        max(to_date(col("l_shipdate"))).as("last_ship"))
+      .orderBy("o_orderstatus")
+      .collect() // materialize BEFORE the scratch exports are deleted
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(scratch.toFile)
+    rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDate(4)))
+      .toSeq.toDF("o_orderstatus", "n_items", "qty_sum", "revenue", "last_ship")
+  }
+
+  /** DuckDB oracle for q70: the same join/aggregate straight off the
+    * parquet tables — round-tripping through CSV+JSONL must not change
+    * a single value.
+    */
+  val q70_oracle: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS qty_sum,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS revenue,
+      |  CAST(MAX(l_shipdate) AS DATE) AS last_ship
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** q68_bucketed_join — the co-located fact⋈fact join as an
     * oracle-checked entry: orders and lineitem are written as BUCKETED
     * tables on the join key (8 buckets, sorted), then joined and

@@ -62,4 +62,25 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.read(spark, table, Some(0L)).orderBy("id").collect().toSeq)
     assert(Snapshots.currentVersion(table).contains(1L))
   }
+
+  test("changes classifies insert/delete/update and emits both update images") {
+    val table = java.nio.file.Files.createTempDirectory("snapcdc_").toString + "/t"
+    Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "s", "v"),
+      table) // v0
+    Snapshots.write(
+      Seq((2L, "b", 20.0), (3L, "c", 99.0), (4L, "d", 40.0)).toDF("id", "s", "v"),
+      table) // v1: 1 deleted, 2 untouched, 3 updated, 4 inserted
+    val feed = Snapshots.changes(spark, table, 0L, 1L, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(feed == Set(
+      ("delete", 1L, 10.0),
+      ("update_pre", 3L, 30.0),
+      ("update_post", 3L, 99.0),
+      ("insert", 4L, 40.0)), s"got $feed")
+    // untouched row 2 must NOT appear in the feed at all
+    assert(!feed.exists(_._2 == 2L))
+    // identical versions produce an empty feed
+    assert(Snapshots.changes(spark, table, 1L, 1L, "id").isEmpty)
+  }
 }

@@ -17,6 +17,22 @@ class SourcesSpec extends SparkSpec {
     assert(backCsv.schema == orders.schema)
   }
 
+  test("csv and jsonl round-trips are VALUE-exact (keys, doubles, timestamps)") {
+    // q70's premise: serialize→parse must be lossless, not just
+    // count/schema-preserving. Doubles round-trip via shortest-repr
+    // formatting; timestamps via the default writer/parser pair.
+    val li = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    val tmp = java.nio.file.Files.createTempDirectory("sources_exact_").toString
+    li.write.option("header", "true").csv(s"$tmp/csv")
+    li.write.json(s"$tmp/json")
+    val want = li.collect().map(_.toSeq).toSet
+    val gotCsv = Sources.csv(spark, s"$tmp/csv", li.schema).collect().map(_.toSeq).toSet
+    val gotJson = Sources.jsonLines(spark, s"$tmp/json", li.schema).collect().map(_.toSeq).toSet
+    assert(gotCsv == want, "CSV round-trip changed at least one value")
+    assert(gotJson == want, "JSONL round-trip changed at least one value")
+  }
+
   test("partitioned parquet layout enables partition pruning") {
     val tmp = java.nio.file.Files.createTempDirectory("part_").toString
     val orders = Tables(spark, sfDir).orders
