@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   *                            `m` | `+m` (with ancestors) | `m+` (with
   *                            descendants) | `+m+`, comma-separated; models
   *                            outside the selection are re-attached from the
-  *                            warehouse instead of rebuilt
+  *                            warehouse instead of rebuilt. `state:modified`
+  *                            selects models whose SQL changed since the
+  *                            warehouse's last completed run (slim CI:
+  *                            `--select state:modified+` rebuilds changed
+  *                            models plus everything downstream)
   *
   * A PowerSQL user points this at their existing powersql.toml + model/
   * test .sql files unchanged; execution happens on Spark instead of
@@ -72,7 +76,13 @@ object GraftCli {
       case None => allModels
       case Some(expr) =>
         val deps = engine.dependencies(allModels)
-        val keep = Selector.expand(deps, expr)
+        // state-aware selection: diff definitions against the warehouse's
+        // saved state manifest only when the expression asks for it
+        val modified =
+          if (expr.contains("state:modified"))
+            engine.modifiedSince(allModels, warehouse)
+          else Set.empty[String]
+        val keep = Selector.expand(deps, expr, modified)
         // only the selection's UPSTREAM closure needs re-attaching —
         // unselected descendants are not referenced by anything we build
         val needed = Selector.expand(deps, keep.map("+" + _).mkString(",")) -- keep

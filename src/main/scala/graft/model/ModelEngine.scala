@@ -103,8 +103,71 @@ final class ModelEngine(spark: SparkSession) {
     * Models inside one level run concurrently (Spark schedules their jobs
     * across the cluster simultaneously).
     */
-  def run(models: Seq[ModelStatement], warehouse: String): Unit =
+  def run(models: Seq[ModelStatement], warehouse: String): Unit = {
     run(models, TableSink.parquet(warehouse))
+    saveState(models, warehouse) // completed build = valid state:modified base
+  }
+
+  /** Own-definition hash per model — NO upstream chaining. The chained
+    * hash (runIncremental) answers "must this model REBUILD" (an
+    * upstream edit propagates); the definition hash answers "did a
+    * human EDIT this model's SQL" — the seed set `state:modified`
+    * selection grows from. Conflating them would make
+    * `state:modified` ≡ `state:modified+` and lose the distinction dbt
+    * users rely on in slim CI.
+    */
+  def definitionHashes(models: Seq[ModelStatement]): Map[String, String] = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    models.map(m => m.name ->
+      digest.digest(m.query.getBytes("UTF-8")).map("%02x".format(_)).mkString).toMap
+  }
+
+  private def stateFile(warehouse: String) =
+    new java.io.File(warehouse, "_graft_state.properties")
+
+  /** Persist the definition hashes as the warehouse's state manifest —
+    * the baseline a later `--select state:modified` run diffs against.
+    * run/runIncremental call this on completion, so any finished build
+    * is a usable comparison base (dbt's --state artifact dir).
+    *
+    * MERGES into the existing manifest: a `--select`ed partial run
+    * updates only the models it actually (re)built — the warehouse
+    * still materializes the OLD definition of every unselected model,
+    * so an edited-but-unselected model must stay `modified` for the
+    * next CI run, and replacing the file wholesale would instead mark
+    * every unselected model as baseline-unknown.
+    */
+  def saveState(models: Seq[ModelStatement], warehouse: String): Unit = {
+    new java.io.File(warehouse).mkdirs()
+    val props = new java.util.Properties()
+    val f = stateFile(warehouse)
+    if (f.exists()) {
+      val in = new java.io.FileInputStream(f)
+      try props.load(in) finally in.close()
+    }
+    definitionHashes(models).foreach { case (k, v) => props.setProperty(k, v) }
+    val out = new java.io.FileOutputStream(f)
+    try props.store(out, "graft state manifest (definition hashes)")
+    finally out.close()
+  }
+
+  /** Models whose definition differs from the warehouse's saved state:
+    * edited SQL or a model the baseline has never seen (dbt's
+    * state:new folded in — both mean "CI must build it"). No state
+    * file = no baseline = every model modified, the safe first-run
+    * default. Deleted models exist only in the baseline and so never
+    * surface here — there is nothing to build for them.
+    */
+  def modifiedSince(models: Seq[ModelStatement], warehouse: String): Set[String] = {
+    val f = stateFile(warehouse)
+    if (!f.exists()) return models.map(_.name).toSet
+    val previous = new java.util.Properties()
+    val in = new java.io.FileInputStream(f)
+    try previous.load(in) finally in.close()
+    definitionHashes(models).collect {
+      case (name, h) if previous.getProperty(name) != h => name
+    }.toSet
+  }
 
   /** `run` with a pluggable materialization target — parquet warehouse by
     * default, or a JDBC warehouse (PostgreSQL-parity with the reference's
@@ -208,6 +271,7 @@ final class ModelEngine(spark: SparkSession) {
     hashes.foreach { case (k, v) => next.setProperty(k, v) }
     val out = new java.io.FileOutputStream(manifestFile)
     try next.store(out, "graft incremental-run manifest") finally out.close()
+    saveState(models, warehouse) // completed build = valid state:modified base
     status.result()
   }
 

@@ -13,7 +13,19 @@ object Selector {
   /** Expand a selector expression into the set of model names, given the
     * parent-dependency map from [[ModelEngine.dependencies]].
     */
-  def expand(deps: Map[String, Seq[String]], expr: String): Set[String] = {
+  def expand(deps: Map[String, Seq[String]], expr: String): Set[String] =
+    expand(deps, expr, Set.empty)
+
+  /** Expansion with state awareness: the token `state:modified` selects
+    * every model in `modified` (from [[ModelEngine.modifiedSince]] — an
+    * edited or baseline-unknown definition), and takes the same
+    * `+`-prefix/suffix closures as a named model, applied per member:
+    * `state:modified+` is dbt's slim-CI build set — everything a CI run
+    * must rebuild and retest after a diff. An empty `modified` set makes
+    * the token select nothing (no edits → no CI work), never an error.
+    */
+  def expand(deps: Map[String, Seq[String]], expr: String,
+             modified: Set[String]): Set[String] = {
     val children: Map[String, Seq[String]] =
       deps.toSeq
         .flatMap { case (m, parents) => parents.map(_ -> m) }
@@ -30,12 +42,19 @@ object Selector {
     expr.split(",").map(_.trim).filter(_.nonEmpty).flatMap { tok =>
       val up = tok.startsWith("+")
       val down = tok.endsWith("+") && tok.length > 1
-      val name = tok.stripPrefix("+").stripSuffix("+")
-      require(deps.contains(name), s"unknown model in --select: $name")
-      var s = Set(name)
-      if (up) s ++= closure(name, n => deps.getOrElse(n, Nil))
-      if (down) s ++= closure(name, n => children.getOrElse(n, Nil))
-      s
+      val core = tok.stripPrefix("+").stripSuffix("+")
+      val bases: Set[String] =
+        if (core == "state:modified") modified.filter(deps.contains)
+        else {
+          require(deps.contains(core), s"unknown model in --select: $core")
+          Set(core)
+        }
+      bases.flatMap { name =>
+        var s = Set(name)
+        if (up) s ++= closure(name, n => deps.getOrElse(n, Nil))
+        if (down) s ++= closure(name, n => children.getOrElse(n, Nil))
+        s
+      }
     }.toSet
   }
 }

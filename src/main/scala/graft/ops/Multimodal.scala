@@ -325,6 +325,98 @@ object Multimodal {
     * arithmetic (no upscale, truncating division, ≥1 px) cross-engine.
     * [oracle]
     */
+  /** Deterministic 16-bit PCM mono WAV: a square wave whose half-period,
+    * length and amplitude derive from the asset id — standing in for
+    * audio bytes read from a lake column, while keeping every waveform
+    * stat computable in closed form from the id (the m4 discipline: the
+    * synth is the fixture, the DECODE is the real production path).
+    */
+  private[ops] def synthWav(docId: Long): Array[Byte] = {
+    val sr = 8000
+    val n = (800 + (docId % 5) * 80).toInt
+    val half = (8 + (docId % 7) * 4).toInt
+    val amp = (1000 + (docId % 3) * 500).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / half) % 2 == 0) amp else -amp
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Full-clip waveform stats off a real `javax.sound.sampled` decode:
+    * sample rate, frame count, peak |amplitude|, and zero crossings
+    * (sign changes between consecutive frames) — the audio-quality
+    * features (silence/clipping/frequency proxies) an audio curation
+    * pipeline filters on.
+    */
+  private[ops] def wavStats(payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val sr = ais.getFormat.getSampleRate.toLong
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var peak = 0L
+      var cross = 0L
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val v = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && (v < 0) != (prev < 0)) cross += 1
+        prev = v
+        i += 1
+      }
+      (sr, n.toLong, peak, cross)
+    } finally ais.close()
+  }
+
+  /** m5_audio_features — waveform analytics end-to-end: every asset's
+    * WAV bytes decode through the REAL javax.sound path inside the
+    * mapPartitions batcher (decoder state per partition, iterator
+    * streams — constant memory however large the clips), emitting
+    * integer-exact per-clip stats. The oracle recomputes each stat in
+    * closed form from the synth parameters — any asymmetry in the
+    * encode→decode→analyze cycle (header parse, endianness, sign
+    * handling) breaks the hash. One scan, zero shuffles. [oracle]
+    */
+  def m5_audio_features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (sr, n, peak, cross) = wavStats(synthWav(id))
+          (id, sr, n, peak, cross)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_frames", "peak", "zero_crossings")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of m5: the synth parameters' closed forms — square
+    * wave of half-period h over n frames crosses zero at every multiple
+    * of h in [1, n-1], i.e. (n-1) // h times.
+    */
+  val m5_oracle: String =
+    """SELECT doc_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(800 + (doc_id % 5) * 80 AS BIGINT) AS n_frames,
+      |  CAST(1000 + (doc_id % 3) * 500 AS BIGINT) AS peak,
+      |  CAST((800 + (doc_id % 5) * 80 - 1) // (8 + (doc_id % 7) * 4) AS BIGINT)
+      |    AS zero_crossings
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def m4_resize(spark: SparkSession, dir: String): DataFrame =
     resizeImages(mediaTable(spark, dir)).toDF()
       .select(col("doc_id"), col("src_w").cast("long").as("src_w"),

@@ -354,6 +354,71 @@ object ModelQueries {
       |) t(selector, model, "column", src_table, src_column)
       |ORDER BY selector, model, "column", src_table, src_column""".stripMargin
 
+  /** a9_state_modified — slim CI as a pinned contract: a v1 project is
+    * "run" (its definition hashes saved as the warehouse state
+    * manifest), then v2 EDITS one model's SQL (sel_src_a grows a
+    * column) and ADDS a new model (sel_out_3); `state:modified` must
+    * select exactly the edited + baseline-unknown models, and
+    * `state:modified+` their descendant closure — the set a CI run
+    * rebuilds and retests after that diff. Everything derives from the
+    * real definition-hash diff against a really-persisted state file;
+    * the pinned (selector, model) rows are the contract. [oracle]
+    */
+  def a9_state_modified(spark: SparkSession, dir: String): DataFrame = {
+    val v1 =
+      """CREATE VIEW sel_src_a AS
+        |  SELECT o_orderkey, o_custkey FROM orders;
+        |CREATE VIEW sel_src_b AS
+        |  SELECT c_custkey, c_mktsegment FROM customer;
+        |CREATE VIEW sel_mid AS
+        |  SELECT c_mktsegment, o_orderkey
+        |  FROM sel_src_a JOIN sel_src_b ON o_custkey = c_custkey;
+        |CREATE VIEW sel_out_1 AS
+        |  SELECT c_mktsegment, COUNT(*) AS n FROM sel_mid GROUP BY c_mktsegment;
+        |CREATE VIEW sel_out_2 AS
+        |  SELECT COUNT(DISTINCT o_orderkey) AS n_orders FROM sel_mid
+        |""".stripMargin
+    // v2: sel_src_a edited (extra column), sel_out_3 newly added;
+    // sel_src_b / sel_mid / sel_out_1 / sel_out_2 byte-identical
+    val v2 = v1
+      .replace("SELECT o_orderkey, o_custkey FROM orders",
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders") +
+      """;CREATE VIEW sel_out_3 AS
+        |  SELECT COUNT(*) AS n_rows FROM sel_mid
+        |""".stripMargin
+    val engine = new ModelEngine(spark)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_a9_")
+    val wh = scratch.toString
+    engine.saveState(ModelParser.parseModelFile(v1), wh) // the v1 "run"
+    val v2models = ModelParser.parseModelFile(v2)
+    val modified = engine.modifiedSince(v2models, wh)
+    val deps = engine.dependencies(v2models)
+    import spark.implicits._
+    val rows = Seq("state:modified", "state:modified+")
+      .flatMap(sel => Selector.expand(deps, sel, modified).toSeq.map(m => (sel, m)))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(scratch.toFile)
+    rows.toDF("selector", "model").orderBy("selector", "model")
+  }
+
+  /** The pinned slim-CI contract: edited sel_src_a + new sel_out_3 are
+    * the modified seed; the `+` closure adds sel_src_a's descendants.
+    */
+  val a9_oracle: String =
+    """SELECT * FROM (VALUES
+      |  ('state:modified',  'sel_out_3'),
+      |  ('state:modified',  'sel_src_a'),
+      |  ('state:modified+', 'sel_mid'),
+      |  ('state:modified+', 'sel_out_1'),
+      |  ('state:modified+', 'sel_out_2'),
+      |  ('state:modified+', 'sel_out_3'),
+      |  ('state:modified+', 'sel_src_a')
+      |) t(selector, model)
+      |ORDER BY selector, model""".stripMargin
+
   /** The pinned selection contract for a7's diamond DAG. */
   val a7_oracle: String =
     """SELECT * FROM (VALUES

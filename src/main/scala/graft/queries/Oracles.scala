@@ -148,6 +148,21 @@ object Oracles {
         |FROM ranked WHERE rn <= 3
         |ORDER BY c_mktsegment ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
 
+    "q71_seq_pattern" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |         substr(string_agg(substr(event_type, 1, 1), ''
+        |                           ORDER BY ts, event_id), 1, 2000) AS j
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN regexp_matches(j, 'v.*c.*p') THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel,
+        |  CAST(SUM(CASE WHEN regexp_matches(j, '^[^vc]*p') THEN 1 ELSE 0 END) AS BIGINT) AS blind_purchase,
+        |  CAST(SUM(CASE WHEN regexp_matches(j, 'ee') THEN 1 ELSE 0 END) AS BIGINT) AS users_error_pair,
+        |  CAST(SUM(len(regexp_extract_all(j, 'ee'))) AS BIGINT) AS error_pairs,
+        |  CAST(SUM(len(regexp_extract_all(j, 'vc'))) AS BIGINT) AS view_then_click,
+        |  CAST(MAX(length(j)) AS BIGINT) AS longest_journey
+        |FROM j""".stripMargin,
+
     "q40_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |v AS (SELECT user_id, MIN(ts) AS v1 FROM e WHERE event_type = 'view' GROUP BY user_id),

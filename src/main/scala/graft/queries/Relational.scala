@@ -1211,6 +1211,40 @@ object Relational {
     * (the open/closed bracket makes the check tie-safe). The oracle
     * computes the exact group sizes and pins the bounds TRUE. [oracle]
     */
+  /** q71_seq_pattern — MATCH_RECOGNIZE-lite: each user's event history
+    * collapses to a journey STRING (one char per event, deterministic
+    * (ts, event_id) order) and sequence questions become regexes over
+    * it — full-funnel `v.*c.*p`, purchase-before-any-view `^[^vc]*p`,
+    * consecutive-error pairs, view→click adjacency. The regex engine is
+    * the pattern matcher SQL's MATCH_RECOGNIZE compiles to anyway;
+    * composing it from collect_list + rlike/regexp_count keeps the
+    * whole thing inside Catalyst (no custom state machine, codegen'd
+    * regex per row).
+    *
+    * Scale shape: ONE shuffle (the user_id groupBy); per-user state is
+    * the journey string, capped at 2000 chars scan-side (both engines),
+    * so a pathological million-event user cannot blow executor memory —
+    * the cap is part of the pinned semantics, not a silent truncation.
+    * [oracle]
+    */
+  def q71_seq_pattern(spark: SparkSession, dir: String): DataFrame = {
+    val journeys = Tables(spark, dir).events
+      .select(col("user_id"), struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy("user_id")
+      .agg(substring(array_join(
+        transform(array_sort(collect_list(col("e"))), x => x.getField("c")),
+        ""), 1, 2000).as("j"))
+    journeys.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("j").rlike("v.*c.*p"), 1L).otherwise(0L)).as("full_funnel"),
+      sum(when(col("j").rlike("^[^vc]*p"), 1L).otherwise(0L)).as("blind_purchase"),
+      sum(when(col("j").rlike("ee"), 1L).otherwise(0L)).as("users_error_pair"),
+      sum(expr("regexp_count(j, 'ee')")).cast("long").as("error_pairs"),
+      sum(expr("regexp_count(j, 'vc')")).cast("long").as("view_then_click"),
+      max(length(col("j"))).cast("long").as("longest_journey"))
+  }
+
   def q45_quantile_sketch(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val acc = 1000

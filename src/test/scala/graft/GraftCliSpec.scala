@@ -129,6 +129,50 @@ class GraftCliSpec extends SparkSpec {
     }
   }
 
+  test("--select state:modified+ rebuilds exactly the edited branch (slim CI)") {
+    Tables(spark, sfDir).registerAll()
+    val root = java.nio.file.Files.createTempDirectory("graft_state_").toString
+    new java.io.File(s"$root/models").mkdirs()
+    new java.io.File(s"$root/tests").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/powersql.toml"),
+      "[project]\nname = \"st\"\nmodels = [\"models\"]\ntests = [\"tests\"]\n")
+    val modelFile = java.nio.file.Paths.get(s"$root/models/chain.sql")
+    java.nio.file.Files.writeString(modelFile,
+      """CREATE TABLE sbase AS SELECT o_custkey, o_totalprice FROM orders;
+        |CREATE TABLE smid AS SELECT o_custkey, SUM(o_totalprice) AS rev FROM sbase GROUP BY o_custkey;
+        |CREATE TABLE sleaf AS SELECT COUNT(*) AS n FROM smid;
+        |CREATE TABLE sother AS SELECT COUNT(*) AS n FROM orders;
+        |""".stripMargin)
+    val wh = s"$root/wh"
+    assert(GraftCli.execute(spark, "run", root, wh, failFast = false) == 0)
+    val otherBefore = new java.io.File(s"$wh/sother").lastModified()
+    val baseBefore = new java.io.File(s"$wh/sbase").lastModified()
+    Thread.sleep(1100) // parquet dir mtimes have ~second granularity
+    // edit smid's SQL; state:modified+ must rebuild smid+sleaf ONLY
+    java.nio.file.Files.writeString(modelFile,
+      """CREATE TABLE sbase AS SELECT o_custkey, o_totalprice FROM orders;
+        |CREATE TABLE smid AS SELECT o_custkey, SUM(o_totalprice) AS rev, COUNT(*) AS n FROM sbase GROUP BY o_custkey;
+        |CREATE TABLE sleaf AS SELECT COUNT(*) AS n FROM smid;
+        |CREATE TABLE sother AS SELECT COUNT(*) AS n FROM orders;
+        |""".stripMargin)
+    assert(GraftCli.execute(spark, "run", root, wh, failFast = false,
+      Some("state:modified+")) == 0)
+    assert(new java.io.File(s"$wh/sother").lastModified() == otherBefore,
+      "untouched model must not rebuild under state:modified+")
+    assert(new java.io.File(s"$wh/sbase").lastModified() == baseBefore,
+      "unedited upstream re-attaches, not rebuilds")
+    assert(new java.io.File(s"$wh/smid").lastModified() > baseBefore)
+    assert(new java.io.File(s"$wh/sleaf").lastModified() > baseBefore)
+    // the run refreshed the state baseline: nothing is modified now, and
+    // an empty state selection is a no-op run, not an error
+    val engine = new graft.model.ModelEngine(spark)
+    val models = graft.model.ModelParser.parseModelFile(
+      java.nio.file.Files.readString(modelFile))
+    assert(engine.modifiedSince(models, wh).isEmpty)
+    assert(GraftCli.execute(spark, "run", root, wh, failFast = false,
+      Some("state:modified+")) == 0)
+  }
+
   test("--select against an unbuilt warehouse fails fast naming the missing upstream") {
     Tables(spark, sfDir).registerAll()
     val root = java.nio.file.Files.createTempDirectory("graft_selmiss_").toString
@@ -175,5 +219,14 @@ class GraftCliSpec extends SparkSpec {
     assert(Selector.expand(deps, "mid+") == Set("mid", "leaf"))
     assert(Selector.expand(deps, "+mid+") == Set("base", "mid", "leaf"))
     assert(Selector.expand(deps, "other, leaf") == Set("other", "leaf"))
+    // state token: expands the modified set, closures apply per member,
+    // empty modified set selects nothing (not an error)
+    assert(Selector.expand(deps, "state:modified", Set("mid")) == Set("mid"))
+    assert(Selector.expand(deps, "state:modified+", Set("mid")) == Set("mid", "leaf"))
+    assert(Selector.expand(deps, "+state:modified", Set("mid", "other")) ==
+      Set("base", "mid", "other"))
+    assert(Selector.expand(deps, "state:modified+", Set.empty) == Set.empty)
+    assert(Selector.expand(deps, "state:modified,other", Set("mid")) ==
+      Set("mid", "other"))
   }
 }

@@ -391,4 +391,17 @@ class MultimodalSpec extends SparkSpec {
       png(448, 112, 0x336699))) // sanity: generator round-trips
     assert(redecoded.getWidth == 448 && redecoded.getHeight == 112)
   }
+
+  test("m5 waveform stats: decode recovers the synth's closed-form values") {
+    // doc_id 0: n=800 frames, half-period 8, amp 1000
+    val s0 = Multimodal.wavStats(Multimodal.synthWav(0L))
+    assert(s0 == (8000L, 800L, 1000L, 799L / 8), s"got $s0")
+    // doc_id 13: n = 800+3*80 = 1040, half = 8+6*4 = 32, amp = 1000+500
+    val s13 = Multimodal.wavStats(Multimodal.synthWav(13L))
+    assert(s13 == (8000L, 1040L, 1500L, 1039L / 32), s"got $s13")
+    // the decode is the real thing: corrupt bytes must throw, not stub
+    intercept[Exception] {
+      Multimodal.wavStats("RIFFxxxxWAVEnotreally".getBytes("UTF-8"))
+    }
+  }
 }
