@@ -153,9 +153,14 @@ object Snapshots {
     val repriced = c.withColumn("c_acctbal",
       when(col("c_custkey") % 10 === 1, col("c_acctbal") + 100)
         .otherwise(col("c_acctbal")))
+    // inserted clones go to the NEGATIVE key space: every generated key
+    // space is non-negative at every scale factor (ScaleGen shifts by
+    // positive per-copy offsets), so the new keys can never collide with
+    // a real customer — a positive offset WOULD at sf≥1, where copy
+    // k+1's keys start exactly one offset above copy k's
     val v1 = repriced.filter(col("c_custkey") % 10 =!= 0)
       .unionByName(c.filter(col("c_custkey") % 10 === 2)
-        .withColumn("c_custkey", col("c_custkey") + lit(10000000L)))
+        .withColumn("c_custkey", -col("c_custkey") - lit(1L)))
     write(v1, table) // v1
     val rows = changes(spark, table, 0L, 1L, "c_custkey")
       .groupBy("op")
@@ -184,7 +189,7 @@ object Snapshots {
       |FROM del
       |UNION ALL
       |SELECT 'insert', CAST(COUNT(*) AS BIGINT),
-      |  CAST(SUM(c_custkey + 10000000) AS BIGINT),
+      |  CAST(SUM(-c_custkey - 1) AS BIGINT),
       |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE)
       |FROM ins
       |UNION ALL
