@@ -107,18 +107,25 @@ object GraphOps {
 
   /** DuckDB mirror of g2: identical orientation, 3-path join, and the
     * same exact-interpolated 75th-percentile heavy-lane cut.
+    *
+    * edw/e are MATERIALIZED and the threshold is a window (not a scalar
+    * subquery): with plain CTEs DuckDB re-inlines the 4-way lineitem
+    * join into every one of the 5 references, and at sf1 the planner's
+    * expansion spilled >70 GB of temp before dying — the same query
+    * shape that is instant when each CTE is evaluated once.
     */
   val g2_oracle: String =
-    """WITH edw AS (
+    """WITH edw AS MATERIALIZED (
       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN customer c ON o.o_custkey = c.c_custkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  GROUP BY 1, 2),
       |ed AS (
-      |  SELECT src, dst FROM edw
-      |  WHERE w >= (SELECT quantile_cont(w, 0.75) FROM edw)),
-      |e AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst, w, quantile_cont(w, 0.75) OVER () AS thr FROM edw)
+      |  WHERE w >= thr),
+      |e AS MATERIALIZED (
       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
       |  FROM ed WHERE src <> dst),
       |tri AS (

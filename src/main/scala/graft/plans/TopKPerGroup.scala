@@ -118,7 +118,10 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
           _, _, child, _)))
         if !projectList.exists(_.references.contains(alias.toAttribute)) =>
       limit(cond, alias.toAttribute) match {
-        case Some(k) if k >= 1 && order.nonEmpty =>
+        // part.nonEmpty: a GLOBAL top-k (no PARTITION BY) is not this
+        // operator's shape — ClusteredDistribution(Nil) is ill-formed,
+        // and Spark's own sort+limit handles the single-group case
+        case Some(k) if k >= 1 && order.nonEmpty && part.nonEmpty =>
           // InferWindowGroupLimit may already have slid a WindowGroupLimit
           // under the Window; the heap operator subsumes it — unwrap.
           val base = child match {

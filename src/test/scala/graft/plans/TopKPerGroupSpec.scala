@@ -77,6 +77,24 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(plan.contains("Window"), s"must keep the window when rn is consumed:\n$plan")
   }
 
+  test("auto-rewrite skips GLOBAL top-k windows (no PARTITION BY)") {
+    TopKPerGroup.enableAutoRewrite(spark)
+    val t = graft.Tables(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    // rn dropped from output — the rewrite's trigger shape, but with an
+    // empty partition spec; rewriting would build an ill-formed
+    // ClusteredDistribution(Nil) and crash at exchange planning
+    val out = t.orders
+      .select("o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderkey", "o_totalprice")
+    assert(out.count() == 3)
+    assert(!out.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "global top-k must not route through the grouped operator")
+  }
+
   test("handles groups smaller than k and duplicate order values") {
     import spark.implicits._
     val df = Seq(
