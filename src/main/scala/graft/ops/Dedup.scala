@@ -30,6 +30,18 @@ object Dedup {
           |  transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))
           |ELSE array(concat_ws(' ', toks)) END)""".stripMargin))
 
+  /** Posting-list df cap, scaled to corpus size: fixed 20 up to 5 000
+    * docs (the original driver-SF contract, byte-identical there), then
+    * n/250 — a corpus replicated R× keeps admitting the same shingles
+    * (their df grows R× with the corpus) instead of silently pruning
+    * every candidate. A LITERAL cap is a recall cliff at scale: at sf1
+    * (10 rotated copies) every cross-copy shingle exceeded df 20 and
+    * d4/d7/d9 found zero pairs — consistent with their oracles (which
+    * mirror the cap) but vacuous. The oracles mirror this formula as
+    * GREATEST(20, COUNT(*) // 250).
+    */
+  private def dfCap(nDocs: Long): Long = math.max(20L, nDocs / 250L)
+
   /** MinHash signature via the native codegen'd expression
     * (graft.functions.MinHashSignature): one generated-Java pass per row,
     * k running minima — measured ~10× over the interpreted higher-order
@@ -326,12 +338,14 @@ object Dedup {
     * [oracle]
     */
   def d4_ngram_jaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables(spark, dir).documents)
+    val docs = Tables(spark, dir).documents
+    val cap = dfCap(docs.count())
+    val sh = withShingles(docs)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
       .persistTracked
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val rare = inv.groupBy("shingle").count()
-      .filter(col("count").between(2, 20)).select("shingle")
+      .filter(col("count").between(2, cap)).select("shingle")
     val posting = inv.join(rare, Seq("shingle"), "left_semi")
     val cand = posting.as("l")
       .join(posting.as("r"),
@@ -360,7 +374,7 @@ object Dedup {
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |        FROM documents)),
       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND GREATEST(20, (SELECT COUNT(*) // 250 FROM documents))),
       |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
       |         JOIN (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) r
@@ -385,12 +399,14 @@ object Dedup {
     * arithmetic — hash-checked against the DuckDB mirror. [oracle]
     */
   def d9_containment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables(spark, dir).documents)
+    val docs = Tables(spark, dir).documents
+    val cap = dfCap(docs.count())
+    val sh = withShingles(docs)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
       .persistTracked
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val rare = inv.groupBy("shingle").count()
-      .filter(col("count").between(2, 20)).select("shingle")
+      .filter(col("count").between(2, cap)).select("shingle")
     val posting = inv.join(rare, Seq("shingle"), "left_semi")
     val cand = posting.as("l")
       .join(posting.as("r"),
@@ -420,7 +436,7 @@ object Dedup {
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |        FROM documents)),
       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND GREATEST(20, (SELECT COUNT(*) // 250 FROM documents))),
       |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
       |         JOIN (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) r
@@ -452,6 +468,7 @@ object Dedup {
     */
   def d7_dedup_editdist(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    val cap = dfCap(docs.count())
     // persist the COMPACT per-doc shingle arrays (d4's shape) and derive
     // the exploded posting list per branch — without this the
     // scan→shingle pipeline recomputes for every plan branch (13 s at
@@ -460,7 +477,7 @@ object Dedup {
       .persistTracked
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val rare = inv.groupBy("shingle").count()
-      .filter(col("count").between(2, 20)).select("shingle")
+      .filter(col("count").between(2, cap)).select("shingle")
     val posting = inv.join(rare, Seq("shingle"), "left_semi")
     val cand = posting.as("l")
       .join(posting.as("r"),
@@ -491,7 +508,7 @@ object Dedup {
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |        FROM documents)),
       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND GREATEST(20, (SELECT COUNT(*) // 250 FROM documents))),
       |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
       |         JOIN (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) r
@@ -691,7 +708,7 @@ object Dedup {
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |        FROM documents)),
       |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
-      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND 20),
+      |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND GREATEST(20, (SELECT COUNT(*) // 250 FROM documents))),
       |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
       |         JOIN (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) r

@@ -204,6 +204,71 @@ object Snapshots {
       |FROM upd
       |ORDER BY op""".stripMargin
 
+  /** q72_incr_agg — incremental view maintenance off the CDC feed: a
+    * per-segment aggregate (count + balance sum) materialized at v0 is
+    * brought to v1 by applying ONLY [[changes]]' delta — inserts add,
+    * deletes subtract, updates subtract the pre-image and add the post-
+    * image — never rescanning the base table. The emitted maintained
+    * aggregate is hash-checked against the oracle recomputing v1 from
+    * scratch: delta-maintenance ≡ full recompute, the contract that
+    * lets a 100 TB materialized aggregate refresh at the cost of the
+    * day's changes instead of the table. Decimal sums keep the
+    * adjustment shuffle-order-independent. [oracle]
+    */
+  def q72_incr_agg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_q72_")
+    val table = scratch.toString + "/cust_snap"
+    val c = graft.Tables(spark, dir).customer
+    write(c, table) // v0
+    val repriced = c.withColumn("c_acctbal",
+      when(col("c_custkey") % 10 === 1, col("c_acctbal") + 100)
+        .otherwise(col("c_acctbal")))
+    val v1 = repriced.filter(col("c_custkey") % 10 =!= 0)
+      .unionByName(c.filter(col("c_custkey") % 10 === 2)
+        .withColumn("c_custkey", -col("c_custkey") - lit(1L)))
+    write(v1, table) // v1
+    // the materialized aggregate, built once at v0
+    val base = read(spark, table, Some(0L)).groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).as("bal"))
+    // the day's delta: signed contributions from the CDC feed only
+    val sign = when(col("op").isin("insert", "update_post"), lit(1))
+      .otherwise(lit(-1)) // delete, update_pre retract
+    val delta = changes(spark, table, 0L, 1L, "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(sum(sign).cast("long").as("dn"),
+        sum(col("c_acctbal").cast("decimal(18,4)") * sign).as("dbal"))
+    val rows = base.join(delta, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        round(coalesce(col("bal"), lit(0).cast("decimal(18,4)")) +
+          coalesce(col("dbal"), lit(0).cast("decimal(18,4)")), 2)
+          .cast("double").as("bal_sum"))
+      .orderBy("c_mktsegment")
+      .collect() // materialize BEFORE the scratch table is deleted
+    val f = fs(new Path(scratch.toString))
+    f.delete(new Path(scratch.toString), true)
+    rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("c_mktsegment", "n", "bal_sum")
+  }
+
+  /** DuckDB oracle for q72: the v1 state aggregated FROM SCRATCH — the
+    * maintained aggregate must land on exactly this.
+    */
+  val q72_oracle: String =
+    """WITH v1 AS (
+      |  SELECT c_mktsegment,
+      |    CASE WHEN c_custkey % 10 = 1 THEN c_acctbal + 100 ELSE c_acctbal END
+      |      AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 10 = 2)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))),2) AS DOUBLE) AS bal_sum
+      |FROM v1 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Compact the current version into ~`targetFileBytes` files and
     * commit the result as the NEXT version — same rows, fewer/right-
     * sized files. Small files are the classic 100 TB scan killer (per-
