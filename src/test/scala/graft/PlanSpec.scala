@@ -286,6 +286,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ndocs"), "frequency filter must exist in the plan")
   }
 
+  test("q69: the CDC diff is ONE join — the four op branches never re-execute it") {
+    // changes() classifies via a single explode(filter(array(...))) over
+    // one full-outer join; a per-branch formulation (4 filters of the
+    // join, unioned) would plan 4 joins and rescan both versions 4x
+    val scratch = java.nio.file.Files.createTempDirectory("plan_cdc_").toString + "/t"
+    import spark.implicits._
+    graft.sources.Snapshots.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), scratch)
+    graft.sources.Snapshots.write(
+      Seq((2L, "B"), (3L, "c")).toDF("id", "s"), scratch)
+    val feed = graft.sources.Snapshots.changes(spark, scratch, 0L, 1L, "id")
+    val plan = formatted(feed)
+    val joins = nodeCount(plan, "SortMergeJoin") + nodeCount(plan, "BroadcastHashJoin") +
+      nodeCount(plan, "ShuffledHashJoin") + nodeCount(plan, "BroadcastNestedLoopJoin")
+    assert(joins == 1, s"CDC diff must plan exactly one join, got $joins:\n$plan")
+  }
+
+  test("s7: both retrieval sides keep the corpus un-shuffled until the candidate stage") {
+    val plan = formatted(graft.ops.Similarity.s7_hybrid_search(spark, sfDir))
+    // the one-row query vector and the query-token list arrive broadcast —
+    // the corpus-side scans must join them without a corpus-wide exchange
+    assert(nodeCount(plan, "BroadcastExchange") >= 2,
+      s"query token list and query vector must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"corpus x query joins must be broadcast-side:\n$plan")
+  }
+
   test("s5: multi-probe fans out the broadcast query side, corpus bucketed once") {
     val plan = formatted(graft.ops.Similarity.s5_ann_multiprobe(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"),
