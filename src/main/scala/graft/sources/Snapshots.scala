@@ -99,10 +99,14 @@ object Snapshots {
     * history: versions are immutable, so the feed is a pure function of
     * two scans.
     *
+    * `key` must be unique within each version (the table is keyed —
+    * the same precondition MERGE has); a duplicated key fans the
+    * full-outer join out and emits one update pair per match.
+    *
     * Shape: ONE full-outer join on `key` (the only wide stage) and one
     * pass over the joined rows — the four CDC branches materialize from
     * a single `explode(filter(array(...)))`, never four re-executions of
-    * the join. Row equality is xxhash64 across all columns, computed
+    * the join (PlanSpec pins the single join). Row equality is xxhash64 across all columns, computed
     * scan-side (codegen'd) so the join carries one extra long per side.
     * At 100 TB both version reads are parquet scans and the join
     * shuffles each side once on the key; versions written bucketed on

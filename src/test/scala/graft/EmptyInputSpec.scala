@@ -39,7 +39,12 @@ class EmptyInputSpec extends SparkSpec {
       // round-5 additions: containment dedup, resize, upsert, bucketed
       // join, count-min, dedup index — all must survive zero-row inputs
       "d9_containment", "m4_resize", "q67_upsert", "q68_bucketed_join",
-      "q66_countmin", "q65_dedup_index")
+      "q66_countmin", "q65_dedup_index",
+      // round-6 additions: CDC diff, format round-trip, sequence
+      // patterns, incremental aggregate, audio stats, hybrid retrieval
+      "q69_cdc", "q70_format_roundtrip", "q71_seq_pattern",
+      "q72_incr_agg", "m5_audio_features", "s7_hybrid_search",
+      "a9_state_modified")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()
