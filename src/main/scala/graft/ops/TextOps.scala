@@ -47,6 +47,67 @@ object TextOps {
        |  CAST(CASE WHEN n_tokens BETWEEN 5 AND 1000 AND n_stop > 0 THEN 1 ELSE 0 END AS BIGINT) AS quality
        |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** t19_gopher_rules — the published Gopher-style quality rule SET as
+    * named per-document verdicts (Rae et al. 2021 §A1.1 adapted to this
+    * corpus's scale): token-count bounds, mean-word-length band,
+    * alphabetic-word fraction, digit-word fraction, symbol density, and
+    * distinct-stopword presence — `keep` = every rule passes. t2 emits
+    * the raw SIGNALS; this entry pins the composed FILTER a curation
+    * pipeline actually applies.
+    *
+    * Every ratio rule is integer cross-multiplication (mean word length
+    * in [3,10] ⇔ 3·n_tokens ≤ n_word_chars ≤ 10·n_tokens), so the
+    * verdicts are exact in both engines — no float thresholds to drift.
+    * One narrow scan, zero shuffles. [oracle]
+    */
+  def t19_gopher_rules(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.selectExpr(
+      "doc_id",
+      s"CAST(size($TOKENS) AS BIGINT) AS n_tokens",
+      "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars",
+      s"CAST(size(filter($TOKENS, x -> x rlike '[a-z]')) AS BIGINT) AS n_alpha",
+      s"CAST(size(filter($TOKENS, x -> x rlike '^[0-9]+$$')) AS BIGINT) AS n_digit",
+      "CAST(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) AS BIGINT) AS n_sym",
+      s"CAST(size(array_intersect(array_distinct($TOKENS), array($STOPWORDS))) AS BIGINT) AS n_distinct_stop"
+    ).selectExpr(
+      "doc_id", "n_tokens",
+      "CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_len",
+      "CAST(CASE WHEN 3 * n_tokens <= n_word_chars AND n_word_chars <= 10 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen",
+      "CAST(CASE WHEN 5 * n_alpha > 4 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_alpha",
+      "CAST(CASE WHEN 10 * n_digit < 3 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_digit",
+      "CAST(CASE WHEN 10 * n_sym < n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_sym",
+      "CAST(CASE WHEN n_distinct_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop"
+    ).selectExpr(
+      "doc_id", "n_tokens", "r_len", "r_wordlen", "r_alpha", "r_digit", "r_sym", "r_stop",
+      "CAST(r_len * r_wordlen * r_alpha * r_digit * r_sym * r_stop AS BIGINT) AS keep"
+    ).orderBy("doc_id")
+
+  val t19_oracle: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
+       |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+       |                         x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+       |                         x -> regexp_matches(x, '^[0-9]+$$'))) AS BIGINT) AS n_digit,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_sym,
+       |    CAST(len(list_intersect(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+       |                            [$STOPWORDS])) AS BIGINT) AS n_distinct_stop
+       |  FROM documents),
+       |flags AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+       |    CAST(CASE WHEN 3 * n_tokens <= n_word_chars AND n_word_chars <= 10 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_wordlen,
+       |    CAST(CASE WHEN 5 * n_alpha > 4 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+       |    CAST(CASE WHEN 10 * n_digit < 3 * n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_digit,
+       |    CAST(CASE WHEN 10 * n_sym < n_tokens THEN 1 ELSE 0 END AS BIGINT) AS r_sym,
+       |    CAST(CASE WHEN n_distinct_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+       |  FROM sig)
+       |SELECT doc_id, n_tokens, r_len, r_wordlen, r_alpha, r_digit, r_sym, r_stop,
+       |  CAST(r_len * r_wordlen * r_alpha * r_digit * r_sym * r_stop AS BIGINT) AS keep
+       |FROM flags ORDER BY doc_id""".stripMargin
+
   /** t3_token_count — whitespace tokens + a BPE-ish regex tokenizer
     * (letter runs | digit runs | single punctuation).
     */

@@ -58,6 +58,35 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t19: each rule flips on a constructed violation (corpus can't exercise all)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dogs and cats today", "en", "ok"), // passes all
+      (2L, "the of", "en", "too_short"),                                 // r_len (n_tokens < 5)
+      (3L, "the of a b c d e f g h i j k l m n o p q r", "en", "short_words"), // mean len < 3
+      (4L, "the of 11 22 33 44 55 66 77 88 99 10 12 13", "en", "digits"), // 10 digit words / 13 > 0.3
+      (5L, "the of ... # ... # ... # ... # ... # xx yy", "en", "symbols"), // 11 syms / 14 tokens
+      (6L, "zzz qqq vvv kkk bbb mmm ddd ggg hhh jjj lll", "en", "no_stop") // 0 distinct stopwords
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("t19_").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = TextOps.t19_gopher_rules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (2 to 7).map(i => out(id).getLong(i))
+    assert(out(1L).getAs[Long]("keep") == 1L, s"doc 1 must pass all: ${flags(1)}")
+    assert(out(2L).getAs[Long]("r_len") == 0L)
+    assert(out(3L).getAs[Long]("r_wordlen") == 0L)
+    assert(out(4L).getAs[Long]("r_digit") == 0L)
+    assert(out(5L).getAs[Long]("r_sym") == 0L)
+    assert(out(6L).getAs[Long]("r_stop") == 0L)
+    // every violator is rejected overall
+    (2L to 6L).foreach(id => assert(out(id).getAs[Long]("keep") == 0L, s"doc $id"))
+  }
+}
+
 class DedupSpec extends SparkSpec {
 
   /** Write a tiny corpus with planted near-dups as a documents dir. */
