@@ -107,6 +107,42 @@ class PropertySpec extends SparkSpec {
     }, minTests = 20)
   }
 
+  test("cdc: applying the change feed to v0 reconstructs v1 on random mutations") {
+    import spark.implicits._
+    // random keyed table + random mutation (delete/update/insert per key
+    // bucket) → changes(v0, v1) must be a COMPLETE and MINIMAL delta:
+    // v0 minus deleted/updated keys, plus post-images and inserts,
+    // equals v1 exactly — and untouched rows never appear in the feed
+    val genCase = for {
+      n <- Gen.choose(1, 40)
+      ops <- Gen.listOfN(n, Gen.choose(0, 3)) // 0 keep, 1 delete, 2 update, 3 also keep
+    } yield ops.zipWithIndex.map { case (op, k) => (k.toLong, op) }
+    checkProp(forAll(genCase) { rows =>
+      val table = java.nio.file.Files.createTempDirectory("cdc_prop_").toString + "/t"
+      val v0 = rows.map { case (k, _) => (k, s"s$k", k * 1.5) }.toDF("id", "s", "v")
+      graft.sources.Snapshots.write(v0, table)
+      val v1rows = rows.flatMap {
+        case (k, 1) => Nil // deleted
+        case (k, 2) => Seq((k, s"s$k", k * 1.5 + 100)) // updated
+        case (k, _) => Seq((k, s"s$k", k * 1.5)) // untouched
+      } ++ rows.collect { case (k, 3) => (-k - 1, s"new$k", 0.0) } // inserts
+      graft.sources.Snapshots.write(v1rows.toDF("id", "s", "v"), table)
+      val feed = graft.sources.Snapshots.changes(spark, table, 0L, 1L, "id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      val deleted = feed.collect { case ("delete", id, _, _) => id }.toSet
+      val preIds = feed.collect { case ("update_pre", id, _, _) => id }.toSet
+      val applied = rows.collect { case (k, op) if !deleted(k) && !preIds(k) => (k, s"s$k", k * 1.5) } ++
+        feed.collect { case ("update_post", id, s, v) => (id, s, v) } ++
+        feed.collect { case ("insert", id, s, v) => (id, s, v) }
+      val want = v1rows.toSet
+      // feed validity: pre/post ids pair up; untouched rows absent
+      val touched = rows.collect { case (k, op) if op == 1 || op == 2 => k }.toSet
+      preIds == feed.collect { case ("update_post", id, _, _) => id }.toSet &&
+        feed.forall { case (_, id, _, _) => touched(id) || id < 0 } &&
+        applied.toSet == want
+    }, minTests = 10)
+  }
+
   test("selector: +m+ always equals the union of +m and m+ on random DAGs") {
     val genDag: Gen[Map[String, Seq[String]]] = Gen.choose(2, 10).flatMap { n =>
       val names = (0 until n).map(i => s"m$i")
