@@ -581,48 +581,60 @@ object Similarity {
     """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
       |       TRUE AS recall_ok""".stripMargin
 
-  /** s7_hybrid_search — hybrid retrieval: a KEYWORD candidate list
-    * (distinct-token overlap with the query document, posting-list
-    * bounded) and a VECTOR candidate list (exact cosine, s1's pipeline)
-    * fused by reciprocal-rank fusion — RRF(d) = Σ_lists 1/(60+rank_d),
-    * the standard zero-tuning fusion for combining lexical and dense
-    * retrieval. Emits the fused top-10 with both source ranks (0 =
-    * absent from that list's top-20).
+  /** s7_hybrid_search — hybrid retrieval over a query SET (doc/vec ids
+    * < 3, the real retrieval shape): a KEYWORD candidate list per query
+    * (distinct-token overlap, posting-list bounded) and a VECTOR
+    * candidate list per query (exact cosine, s1's pipeline) fused by
+    * reciprocal-rank fusion — RRF(d) = Σ_lists 1/(60+rank_d), the
+    * standard zero-tuning fusion for combining lexical and dense
+    * retrieval. Emits each query's fused top-10 with both source ranks
+    * (0 = absent from that list's top-20).
     *
     * Scale shape: the keyword side touches only documents sharing ≥1
-    * query token (an inverted-index probe, never a corpus scan at 100 TB
-    * — here the join IS the posting-list intersection); the vector side
-    * is one broadcast-query corpus scan (s1); each global row_number
-    * ranks a ≤candidate-set/top-20 frame, not the corpus. Ranking uses
+    * query token (an inverted-index probe, never a corpus scan at
+    * 100 TB — the broadcast join IS the posting-list intersection); the
+    * vector side is one broadcast-query corpus scan (s1). BOTH top-20
+    * cuts run through the native bounded-heap operator
+    * (graft.plans.TopKPerGroup — partial per-partition heaps, the
+    * shuffle carries ≤ 20·partitions rows per query), so no
+    * corpus-sized input ever reaches a window: every row_number ranks a
+    * ≤ 20-rows-per-query frame, partitioned by query_id. Ranking uses
     * ROUNDED scores with id tiebreaks so both engines order
     * identically. [oracle]
     */
   def s7_hybrid_search(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 3
     val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
     val toks = docs.select(col("doc_id"),
       explode(expr(
         "array_distinct(filter(split(lower(text), '[^a-z]+'), t -> t != ''))")).as("tok"))
-    val qtoks = broadcast(toks.filter(col("doc_id") === 0).select("tok"))
-    val kw = toks.filter(col("doc_id") =!= 0).join(qtoks, "tok")
-      .groupBy("doc_id").agg(count(lit(1)).as("kw_score"))
+    val qtoks = broadcast(toks.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("query_id"), col("tok")))
+    val kw = toks.join(qtoks, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("kw_score"))
+    val kwTop = graft.plans.TopKPerGroup.topKPerGroup(
+      kw, Seq("query_id"), Seq(("kw_score", false), ("doc_id", true)), 20)
     val wk = org.apache.spark.sql.expressions.Window
-      .orderBy(col("kw_score").desc, col("doc_id").asc)
-    val kwRank = kw.withColumn("r", row_number().over(wk).cast("long"))
-      .filter(col("r") <= 20)
-      .select(col("doc_id").as("id"), col("r").as("kw_rank"))
+      .partitionBy("query_id").orderBy(col("kw_score").desc, col("doc_id").asc)
+    val kwRank = kwTop.withColumn("r", row_number().over(wk).cast("long"))
+      .select(col("query_id"), col("doc_id").as("id"), col("r").as("kw_rank"))
     val unit = withUnit(Tables(spark, dir).embeddings)
-    val qv = broadcast(unit.filter(col("vec_id") === 0).select(col("unit").as("qunit")))
-    val scored = unit.filter(col("vec_id") =!= 0).crossJoin(qv)
-      .select(col("vec_id"), round(dot(col("qunit"), col("unit")), 6).as("cos"))
+    val qv = broadcast(unit.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit")))
+    val scored = unit.join(qv, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qunit"), col("unit")), 6).as("cos"))
+    val vecTop = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq("query_id"), Seq(("cos", false), ("vec_id", true)), 20)
     val wv = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    val vecRank = scored.withColumn("r", row_number().over(wv).cast("long"))
-      .filter(col("r") <= 20)
-      .select(col("vec_id").as("id"), col("r").as("vec_rank"))
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val vecRank = vecTop.withColumn("r", row_number().over(wv).cast("long"))
+      .select(col("query_id"), col("vec_id").as("id"), col("r").as("vec_rank"))
     val wf = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rrf").desc, col("id").asc)
-    kwRank.join(vecRank, Seq("id"), "full_outer")
-      .select(col("id"),
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("id").asc)
+    kwRank.join(vecRank, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
         coalesce(col("kw_rank"), lit(0L)).as("kw_rank"),
         coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
       .withColumn("rrf", round(
@@ -631,27 +643,31 @@ object Similarity {
         6))
       .withColumn("fused_rank", row_number().over(wf).cast("long"))
       .filter(col("fused_rank") <= 10)
-      .orderBy("fused_rank")
+      .orderBy("query_id", "fused_rank")
   }
 
   /** DuckDB mirror of s7: same tokenize→overlap→rank, same
-    * normalize→dot→round→rank, same RRF arithmetic.
+    * normalize→dot→round→rank, same RRF arithmetic — per query in the
+    * 3-query set (every rank PARTITION BY query_id).
     */
   val s7_oracle: String =
     """WITH qt AS (
-      |  SELECT DISTINCT tok FROM (
-      |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
-      |    FROM documents WHERE doc_id = 0) WHERE tok <> ''),
+      |  SELECT DISTINCT query_id, tok FROM (
+      |    SELECT doc_id AS query_id,
+      |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      |    FROM documents WHERE doc_id < 3) WHERE tok <> ''),
       |dt AS (
       |  SELECT DISTINCT doc_id, tok FROM (
       |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
-      |    FROM documents WHERE doc_id <> 0) WHERE tok <> ''),
+      |    FROM documents) WHERE tok <> ''),
       |kw AS (
-      |  SELECT doc_id, COUNT(*) AS kw_score
-      |  FROM dt JOIN qt USING (tok) GROUP BY doc_id),
+      |  SELECT query_id, doc_id, COUNT(*) AS kw_score
+      |  FROM dt JOIN qt USING (tok) WHERE doc_id <> query_id
+      |  GROUP BY query_id, doc_id),
       |kwr AS (
-      |  SELECT id, kw_rank FROM (
-      |    SELECT doc_id AS id, CAST(row_number() OVER (
+      |  SELECT query_id, id, kw_rank FROM (
+      |    SELECT query_id, doc_id AS id, CAST(row_number() OVER (
+      |      PARTITION BY query_id
       |      ORDER BY kw_score DESC, doc_id ASC) AS BIGINT) AS kw_rank
       |    FROM kw) WHERE kw_rank <= 20),
       |v AS (
@@ -661,28 +677,32 @@ object Similarity {
       |  SELECT vec_id,
       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
       |  FROM v),
-      |q AS (SELECT unit AS qunit FROM u WHERE vec_id = 0),
+      |q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id < 3),
       |sc AS (
-      |  SELECT c.vec_id, round(list_dot_product(q.qunit, c.unit), 6) AS cos
-      |  FROM u c, q WHERE c.vec_id <> 0),
+      |  SELECT q.query_id, c.vec_id, round(list_dot_product(q.qunit, c.unit), 6) AS cos
+      |  FROM u c, q WHERE c.vec_id <> q.query_id),
       |vr AS (
-      |  SELECT id, vec_rank FROM (
-      |    SELECT vec_id AS id, CAST(row_number() OVER (
+      |  SELECT query_id, id, vec_rank FROM (
+      |    SELECT query_id, vec_id AS id, CAST(row_number() OVER (
+      |      PARTITION BY query_id
       |      ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS vec_rank
       |    FROM sc) WHERE vec_rank <= 20),
       |fused AS (
-      |  SELECT COALESCE(kwr.id, vr.id) AS id,
+      |  SELECT COALESCE(kwr.query_id, vr.query_id) AS query_id,
+      |    COALESCE(kwr.id, vr.id) AS id,
       |    COALESCE(kw_rank, 0) AS kw_rank,
       |    COALESCE(vec_rank, 0) AS vec_rank
-      |  FROM kwr FULL OUTER JOIN vr ON kwr.id = vr.id),
+      |  FROM kwr FULL OUTER JOIN vr
+      |    ON kwr.query_id = vr.query_id AND kwr.id = vr.id),
       |rrfed AS (
-      |  SELECT id, kw_rank, vec_rank,
+      |  SELECT query_id, id, kw_rank, vec_rank,
       |    round(CASE WHEN kw_rank > 0 THEN 1.0 / (kw_rank + 60) ELSE 0 END +
       |          CASE WHEN vec_rank > 0 THEN 1.0 / (vec_rank + 60) ELSE 0 END,
       |          6) AS rrf
       |  FROM fused)
-      |SELECT id, kw_rank, vec_rank, rrf, fused_rank FROM (
-      |  SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, id ASC) AS BIGINT)
+      |SELECT query_id, id, kw_rank, vec_rank, rrf, fused_rank FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, id ASC) AS BIGINT)
       |    AS fused_rank FROM rrfed)
-      |WHERE fused_rank <= 10 ORDER BY fused_rank""".stripMargin
+      |WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
 }

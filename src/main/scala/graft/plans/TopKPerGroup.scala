@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Descending, Expression, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -59,9 +59,15 @@ case class TopKPerGroupExec(
 
   /** The final pass demands co-located groups — Spark plans the single
     * hash exchange; the partial pass runs wherever the data already is.
+    * An EMPTY group list is the GLOBAL top-k: one logical group, so the
+    * final pass demands `AllTuples` (a single-partition exchange carrying
+    * only the ≤ k·partitions partial survivors — the same shape as
+    * TakeOrderedAndProject, with a heap instead of a sort).
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial) Seq(UnspecifiedDistribution) else Seq(ClusteredDistribution(groupExprs))
+    if (partial) Seq(UnspecifiedDistribution)
+    else if (groupExprs.isEmpty) Seq(AllTuples)
+    else Seq(ClusteredDistribution(groupExprs))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, s, childOut, kk) = (groupExprs, sortOrder, child.output, k)
@@ -118,10 +124,13 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
           _, _, child, _)))
         if !projectList.exists(_.references.contains(alias.toAttribute)) =>
       limit(cond, alias.toAttribute) match {
-        // part.nonEmpty: a GLOBAL top-k (no PARTITION BY) is not this
-        // operator's shape — ClusteredDistribution(Nil) is ill-formed,
-        // and Spark's own sort+limit handles the single-group case
-        case Some(k) if k >= 1 && order.nonEmpty && part.nonEmpty =>
+        // An empty PARTITION BY is the GLOBAL top-k: the operator now
+        // handles it natively (empty grouping → partial per-partition
+        // heaps + one AllTuples merge of ≤ k·partitions rows), so the
+        // single most common interactive shape — `row_number() <= k`
+        // over the whole input — no longer falls back to a
+        // single-partition WindowExec.
+        case Some(k) if k >= 1 && order.nonEmpty =>
           // InferWindowGroupLimit may already have slid a WindowGroupLimit
           // under the Window; the heap operator subsumes it — unwrap.
           val base = child match {
@@ -150,7 +159,8 @@ object TopKPerGroup {
 
   /** Top-k rows per group. `orderBy` is (column, ascending); ordering
     * should be total (include a unique tiebreak column) for deterministic
-    * results.
+    * results. An EMPTY `groupCols` computes the GLOBAL top-k (partial
+    * heaps per partition, one single-partition merge of the survivors).
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
                    orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {

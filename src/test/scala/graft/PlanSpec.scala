@@ -304,13 +304,52 @@ class PlanSpec extends SparkSpec {
   }
 
   test("s7: both retrieval sides keep the corpus un-shuffled until the candidate stage") {
-    val plan = formatted(graft.ops.Similarity.s7_hybrid_search(spark, sfDir))
-    // the one-row query vector and the query-token list arrive broadcast —
+    val df = graft.ops.Similarity.s7_hybrid_search(spark, sfDir)
+    val plan = formatted(df)
+    // the query-token list and the query vectors arrive broadcast —
     // the corpus-side scans must join them without a corpus-wide exchange
     assert(nodeCount(plan, "BroadcastExchange") >= 2,
-      s"query token list and query vector must broadcast:\n$plan")
+      s"query token list and query vectors must broadcast:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"corpus x query joins must be broadcast-side:\n$plan")
+  }
+
+  test("s7: ranking never funnels corpus-sized input through one partition") {
+    val df = graft.ops.Similarity.s7_hybrid_search(spark, sfDir)
+    // both top-20 cuts run through the native bounded-heap operator
+    // (partial pass before the one exchange), so only <= 20 rows per
+    // query survive to the window stage
+    val exec = df.queryExecution.executedPlan
+    val plan = exec.toString
+    assert("TopKPerGroup".r.findAllIn(plan).size >= 4,
+      s"both candidate cuts must use the partial+final heap operator:\n$plan")
+    // every WindowExec must be partitioned (the r6 defect was a
+    // no-PARTITION-BY row_number over the full scored corpus — a
+    // single-partition WindowExec). AQE wraps the plan in an adaptive
+    // LEAF node, so collect() alone sees nothing — descend explicitly.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: allNodes(a.inputPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val windows = allNodes(exec).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "ranks are computed by windows over the survivors")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"no-PARTITION-BY window over unbounded input:\n$w")
+      // and its input must already be the bounded top-k survivor set:
+      // a TopKPerGroupExec below the window, with no join between them
+      // that could re-inflate cardinality beyond the fused <= 40/query
+      assert(w.find {
+        case _: graft.plans.TopKPerGroupExec => true
+        case _ => false
+      }.isDefined, s"window input must be the bounded survivor set:\n$w")
+    }
   }
 
   test("s5: multi-probe fans out the broadcast query side, corpus bucketed once") {

@@ -77,22 +77,47 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(plan.contains("Window"), s"must keep the window when rn is consumed:\n$plan")
   }
 
-  test("auto-rewrite skips GLOBAL top-k windows (no PARTITION BY)") {
+  test("auto-rewrite fires on GLOBAL top-k windows (no PARTITION BY) with no crash") {
     TopKPerGroup.enableAutoRewrite(spark)
     val t = graft.Tables(spark, sfDir)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    // rn dropped from output — the rewrite's trigger shape, but with an
-    // empty partition spec; rewriting would build an ill-formed
-    // ClusteredDistribution(Nil) and crash at exchange planning
+    // rn dropped from output, EMPTY partition spec — the global shape
+    // that used to crash exchange planning (ClusteredDistribution(Nil))
+    // and was therefore skipped; empty grouping now demands AllTuples:
+    // partial per-partition heaps + one merge of <= k*partitions rows,
+    // never a single-partition WindowExec over the full input
     val out = t.orders
       .select("o_orderkey", "o_totalprice")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("o_orderkey", "o_totalprice")
-    assert(out.count() == 3)
-    assert(!out.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
-      "global top-k must not route through the grouped operator")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"global rewrite must fire:\n$plan")
+    assert(!plan.contains("Window"), s"window must be gone:\n$plan")
+    val expected = t.orders
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(3).collect().map(_.toSeq).toSeq
+    val got = out.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
+  test("explicit GLOBAL top-k (empty group list) matches orderBy+limit") {
+    val t = graft.Tables(spark, sfDir)
+    val native = TopKPerGroup.topKPerGroup(
+      t.orders.select("o_orderkey", "o_totalprice"),
+      Seq.empty, Seq(("o_totalprice", false), ("o_orderkey", true)), 5)
+    val plan = native.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(plan).size >= 2, s"partial+final expected:\n$plan")
+    assert(!plan.toLowerCase.contains("sort "), s"no full sort of the data:\n$plan")
+    val expected = t.orders.select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(5).collect().map(_.toSeq).toSeq
+    val got = native.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
   }
 
   test("handles groups smaller than k and duplicate order values") {
