@@ -101,6 +101,9 @@ object Multimodal {
     * stats come from the FIRST ≤4096 frames (16/8-bit PCM) — a bounded
     * deterministic prefix, so decode cost per asset is O(1) no matter
     * the clip length, the same contract as [[extractPng]]'s stride cap.
+    * Multi-channel frames are averaged to one amplitude per frame, so
+    * out(7) counts FRAMES (not interleaved samples) for any channel
+    * count.
     */
   private def extractWav(payload: Array[Byte], dim: Int): Option[Array[Float]] =
     scala.util.Try {
@@ -117,19 +120,33 @@ object Multimodal {
         var r = ais.read(buf, 0, buf.length)
         while (r > 0 && read + r < buf.length) { read += r; r = ais.read(buf, read, buf.length - read) }
         if (r > 0) read += r
+        // frame-wise walk: each frame's CHANNELS ARE AVERAGED into one
+        // amplitude before the stats, so out(5..7) are genuinely
+        // per-FRAME (a stereo clip is not double-counted and its
+        // interleaved L/R values never fold into one stream); for mono
+        // this is byte-identical to a flat sample walk
         var sumAbs = 0.0; var peak = 0.0; var cnt = 0L
         val le = !fmt.isBigEndian
+        val bytesPerSample = bits / 8
+        val frameSize = bytesPerSample * ch
         var i = 0
-        while (i + bits / 8 <= read) {
-          val v =
-            if (bits == 16) {
-              val lo = buf(if (le) i else i + 1) & 0xff
-              val hi = buf(if (le) i + 1 else i)
-              ((hi << 8) | lo).toShort / 32768.0
-            } else (buf(i) & 0xff) / 255.0 * 2 - 1 // 8-bit PCM is unsigned
-          val a = math.abs(v)
+        while (i + frameSize <= read) {
+          var chSum = 0.0
+          var c = 0
+          while (c < ch) {
+            val o = i + c * bytesPerSample
+            val v =
+              if (bits == 16) {
+                val lo = buf(if (le) o else o + 1) & 0xff
+                val hi = buf(if (le) o + 1 else o)
+                ((hi << 8) | lo).toShort / 32768.0
+              } else (buf(o) & 0xff) / 255.0 * 2 - 1 // 8-bit PCM is unsigned
+            chSum += v
+            c += 1
+          }
+          val a = math.abs(chSum / ch)
           sumAbs += a; if (a > peak) peak = a; cnt += 1
-          i += bits / 8
+          i += frameSize
         }
         val out = new Array[Float](dim)
         out(0) = fmt.getSampleRate

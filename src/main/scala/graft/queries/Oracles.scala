@@ -149,11 +149,15 @@ object Oracles {
         |ORDER BY c_mktsegment ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
 
     "q71_seq_pattern" ->
-      """WITH j AS (
+      """WITH fe AS (
+        |  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |j AS (
         |  SELECT user_id,
-        |         substr(string_agg(substr(event_type, 1, 1), ''
-        |                           ORDER BY ts, event_id), 1, 2000) AS j
-        |  FROM events GROUP BY user_id)
+        |         string_agg(c, '' ORDER BY ts, event_id) AS j
+        |  FROM fe WHERE rn <= 2000 GROUP BY user_id)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
         |  CAST(SUM(CASE WHEN regexp_matches(j, 'v.*c.*p') THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel,
         |  CAST(SUM(CASE WHEN regexp_matches(j, '^[^vc]*p') THEN 1 ELSE 0 END) AS BIGINT) AS blind_purchase,

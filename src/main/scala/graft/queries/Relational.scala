@@ -1221,20 +1221,30 @@ object Relational {
     * whole thing inside Catalyst (no custom state machine, codegen'd
     * regex per row).
     *
-    * Scale shape: ONE shuffle (the user_id groupBy); per-user state is
-    * the journey string, capped at 2000 chars scan-side (both engines),
-    * so a pathological million-event user cannot blow executor memory —
-    * the cap is part of the pinned semantics, not a silent truncation.
-    * [oracle]
+    * Scale shape: ONE shuffle — the window and the groupBy both hash on
+    * user_id, so Catalyst plans a single exchange. The 2000-event cap
+    * bounds the AGGREGATION ITSELF, not just the output string: each
+    * user's events are cut to the first 2000 by (ts, event_id) with a
+    * row_number BEFORE collect_list, so the per-user aggregation buffer
+    * holds ≤ 2000 structs and a pathological million-event user cannot
+    * blow executor memory. One char per event makes first-2000-events
+    * ≡ first-2000-chars — the pinned cap semantics are unchanged, and
+    * the oracle applies the same pre-aggregation cut. [oracle]
     */
   def q71_seq_pattern(spark: SparkSession, dir: String): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val journeys = Tables(spark, dir).events
-      .select(col("user_id"), struct(col("ts"), col("event_id"),
-        substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 2000)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("c")).as("e"))
       .groupBy("user_id")
-      .agg(substring(array_join(
+      .agg(array_join(
         transform(array_sort(collect_list(col("e"))), x => x.getField("c")),
-        ""), 1, 2000).as("j"))
+        "").as("j"))
     journeys.agg(
       count(lit(1)).as("n_users"),
       sum(when(col("j").rlike("v.*c.*p"), 1L).otherwise(0L)).as("full_funnel"),

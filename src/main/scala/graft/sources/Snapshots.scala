@@ -101,19 +101,30 @@ object Snapshots {
     *
     * `key` must be unique within each version (the table is keyed —
     * the same precondition MERGE has); a duplicated key fans the
-    * full-outer join out and emits one update pair per match.
+    * full-outer join out and emits one update pair per match. With
+    * `assertUniqueKey` (the default) both versions are checked up front
+    * — one count-vs-count-distinct aggregate per side, failing fast
+    * with the duplicate count instead of silently exploding the diff;
+    * pass `assertUniqueKey = false` to skip the two extra scans when
+    * the table is keyed by construction.
     *
     * Shape: ONE full-outer join on `key` (the only wide stage) and one
     * pass over the joined rows — the four CDC branches materialize from
     * a single `explode(filter(array(...)))`, never four re-executions of
-    * the join (PlanSpec pins the single join). Row equality is xxhash64 across all columns, computed
-    * scan-side (codegen'd) so the join carries one extra long per side.
+    * the join (PlanSpec pins the single join). Update detection is a
+    * NULL-SAFE struct comparison of the two row images (`<=>` over
+    * `struct(cols)`): the joined row already carries every column of
+    * both sides for the pre/post images, so comparing them directly
+    * costs no extra shuffle bytes and is EXACT — unlike a multi-column
+    * hash, it cannot collide, and unlike Spark's hash expressions (which
+    * skip NULL inputs, leaving the accumulator untouched) it
+    * distinguishes (x, null) from (null, x).
     * At 100 TB both version reads are parquet scans and the join
     * shuffles each side once on the key; versions written bucketed on
     * `key` make the diff shuffle-free.
     */
   def changes(spark: SparkSession, table: String, fromV: Long, toV: Long,
-              key: String): DataFrame = {
+              key: String, assertUniqueKey: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions._
     val pre = read(spark, table, Some(fromV))
     val cols = pre.columns.toSeq
@@ -121,15 +132,25 @@ object Snapshots {
     require(post.columns.toSeq == cols,
       s"changes($fromV -> $toV) requires identical schemas, " +
         s"got ${cols.mkString(",")} vs ${post.columns.mkString(",")}")
+    if (assertUniqueKey) Seq(fromV -> pre, toV -> post).foreach { case (v, df) =>
+      val r = df.agg(count(lit(1)), count_distinct(col(key))).head()
+      val (n, d) = (r.getLong(0), r.getLong(1))
+      require(n == d,
+        s"changes($fromV -> $toV): key '$key' is not unique in v=$v — " +
+          s"$n rows over $d distinct non-null keys (${n - d} extra); a " +
+          "duplicated key fans out the full-outer join and silently " +
+          "multiplies the feed. Deduplicate the version (or pass " +
+          "assertUniqueKey = false if the fan-out is intended)")
+    }
     def sided(df: DataFrame, side: String) =
       df.select(cols.map(c => col(c).as(s"${side}_$c")): _*)
-        .withColumn(s"${side}_rh", xxhash64(cols.map(c => col(s"${side}_$c")): _*))
     val j = sided(pre, "pre").join(sided(post, "post"),
       col(s"pre_$key") === col(s"post_$key"), "full_outer")
     def img(op: String, side: String) =
       struct(lit(op).as("op") +: cols.map(c => col(s"${side}_$c").as(c)): _*)
+    def sideStruct(side: String) = struct(cols.map(c => col(s"${side}_$c")): _*)
     val updated = col(s"pre_$key").isNotNull && col(s"post_$key").isNotNull &&
-      col("pre_rh") =!= col("post_rh")
+      !(sideStruct("pre") <=> sideStruct("post"))
     j.select(explode(filter(array(
         when(col(s"post_$key").isNull, img("delete", "pre")),
         when(col(s"pre_$key").isNull, img("insert", "post")),

@@ -385,6 +385,41 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L).feature.length == 8 && feats(3L).n_bytes == 21L)
   }
 
+  test("m1 stereo WAV: stats are per-FRAME with channels averaged, not interleaved samples") {
+    import spark.implicits._
+    // L = +A, R = -A on every frame: the channel-averaged amplitude is 0,
+    // and the sampled count must equal FRAMES — a flat interleaved-sample
+    // walk would instead report mean 0.5, peak 0.5, and 2x the count
+    def stereoWav(rate: Float, frames: Int, amplitude: Short): Array[Byte] = {
+      val data = new Array[Byte](frames * 4)
+      var i = 0
+      while (i < frames) {
+        val l = amplitude
+        val r = (-amplitude).toShort
+        data(4 * i) = (l & 0xff).toByte
+        data(4 * i + 1) = ((l >> 8) & 0xff).toByte
+        data(4 * i + 2) = (r & 0xff).toByte
+        data(4 * i + 3) = ((r >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 2, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(MediaRow(1L, "audio", stereoWav(16000f, 1000, 16384), 0, 0, 16000))
+    val f = Multimodal.extractFeatures(spark.createDataset(rows))
+      .collect().head.feature
+    assert(f(1) == 2f, s"channel count: ${f.toSeq}")
+    assert(f(3) == 1000f, "frame count from the WAV header")
+    assert(f(5) == 0f && f(6) == 0f,
+      s"opposite-phase channels average to 0, got mean=${f(5)} peak=${f(6)}")
+    assert(f(7) == 1000f, s"sampled count is frames, not frames x channels: ${f(7)}")
+  }
+
   test("m4 real resize: PNG payloads rescale through AWT; stubs use metadata dims") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {

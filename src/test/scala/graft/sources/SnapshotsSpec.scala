@@ -83,4 +83,37 @@ class SnapshotsSpec extends SparkSpec {
     // identical versions produce an empty feed
     assert(Snapshots.changes(spark, table, 1L, 1L, "id").isEmpty)
   }
+
+  test("changes detects a value moving across a null column (null-safe compare)") {
+    // with per-side multi-column hashing this was silently dropped: Spark
+    // hash expressions SKIP null inputs, so (x, null) and (null, x) hashed
+    // equal; the null-safe struct compare must classify it as an update
+    val table = java.nio.file.Files.createTempDirectory("snapnull_").toString + "/t"
+    Snapshots.write(
+      Seq((1L, Some("x"), Option.empty[String]), (2L, Some("k"), Some("m")))
+        .toDF("id", "a", "b"), table) // v0
+    Snapshots.write(
+      Seq((1L, Option.empty[String], Some("x")), (2L, Some("k"), Some("m")))
+        .toDF("id", "a", "b"), table) // v1: row 1's value slid a -> b
+    val ops = Snapshots.changes(spark, table, 0L, 1L, "id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ops == Set(("update_pre", 1L), ("update_post", 1L)), s"got $ops")
+  }
+
+  test("changes fails fast on a duplicate-keyed version, naming the duplicate count") {
+    val table = java.nio.file.Files.createTempDirectory("snapdup_").toString + "/t"
+    Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), table) // v0
+    Snapshots.write(
+      Seq((1L, "a"), (2L, "b"), (2L, "B")).toDF("id", "s"), table) // v1: key 2 duplicated
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, table, 0L, 1L, "id")
+    }
+    assert(e.getMessage.contains("not unique"), e.getMessage)
+    assert(e.getMessage.contains("1 extra"), e.getMessage)
+    // explicit opt-out keeps the fan-out behavior for intentionally
+    // multi-valued keys: the duplicate emits one update pair per match
+    val rows = Snapshots.changes(spark, table, 0L, 1L, "id",
+      assertUniqueKey = false).collect()
+    assert(rows.nonEmpty)
+  }
 }
