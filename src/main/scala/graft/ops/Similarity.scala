@@ -615,10 +615,8 @@ object Similarity {
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("kw_score"))
     val kwTop = graft.plans.TopKPerGroup.topKPerGroup(
       kw, Seq("query_id"), Seq(("kw_score", false), ("doc_id", true)), 20)
-    val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("kw_score").desc, col("doc_id").asc)
-    val kwRank = kwTop.withColumn("r", row_number().over(wk).cast("long"))
-      .select(col("query_id"), col("doc_id").as("id"), col("r").as("kw_rank"))
+      .select(col("query_id"), col("doc_id").as("id"),
+        col("kw_score").cast("double").as("score"))
     val unit = withUnit(Tables(spark, dir).embeddings)
     val qv = broadcast(unit.filter(col("vec_id") < nQ)
       .select(col("vec_id").as("query_id"), col("unit").as("qunit")))
@@ -627,10 +625,28 @@ object Similarity {
         round(dot(col("qunit"), col("unit")), 6).as("cos"))
     val vecTop = graft.plans.TopKPerGroup.topKPerGroup(
       scored, Seq("query_id"), Seq(("cos", false), ("vec_id", true)), 20)
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
-    val vecRank = vecTop.withColumn("r", row_number().over(wv).cast("long"))
-      .select(col("query_id"), col("vec_id").as("id"), col("r").as("vec_rank"))
+      .select(col("query_id"), col("vec_id").as("id"), col("cos").as("score"))
+    rrfFuse(kwTop, vecTop, 10)
+  }
+
+  /** Reciprocal-rank fusion of two per-query candidate sets — the tail
+    * of s7's pipeline, shared with the STREAMING hybrid index
+    * ([[graft.streaming.CorpusStream.hybridSearchIndex]]) so batch and
+    * streaming retrieval fuse with byte-identical arithmetic. Both
+    * inputs are (query_id, id, score) ALREADY cut to ≤ k rows per query
+    * (the bounded-heap cut), so every window here ranks a tiny
+    * per-query frame — never corpus-sized input. Rank 0 = absent from
+    * that side's list; ties break by id for engine-stable order.
+    */
+  def rrfFuse(kwTop: DataFrame, vecTop: DataFrame, topN: Int): DataFrame = {
+    def ranked(df: DataFrame, rankName: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+      df.withColumn("r", row_number().over(w).cast("long"))
+        .select(col("query_id"), col("id"), col("r").as(rankName))
+    }
+    val kwRank = ranked(kwTop, "kw_rank")
+    val vecRank = ranked(vecTop, "vec_rank")
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("rrf").desc, col("id").asc)
     kwRank.join(vecRank, Seq("query_id", "id"), "full_outer")
@@ -642,7 +658,7 @@ object Similarity {
         when(col("vec_rank") > 0, lit(1.0) / (col("vec_rank") + 60)).otherwise(lit(0.0)),
         6))
       .withColumn("fused_rank", row_number().over(wf).cast("long"))
-      .filter(col("fused_rank") <= 10)
+      .filter(col("fused_rank") <= topN)
       .orderBy("query_id", "fused_rank")
   }
 

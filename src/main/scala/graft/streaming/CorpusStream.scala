@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   */
 final case class StreamDoc(doc_id: Long, text: String)
 
+/** One streamed corpus item for hybrid-retrieval ingest: text XOR
+  * embedding populated (a crawl delivers text and the embedder a
+  * vector — usually on different schedules), the other side null.
+  */
+final case class CorpusEvent(id: Long, text: String, embedding: Array[Float])
+
 /** Streaming corpus ingest: the LLM-pipeline operators composed with
   * Structured Streaming for continuously-arriving crawl data. Two
   * dedup shapes, by state size:
@@ -155,5 +161,72 @@ object CorpusStream {
     batch.join(dim, Seq(key), "left")
       .withColumn("dim_version", lit(v))
       .write.mode("overwrite").parquet(partDir)
+  }
+
+  /** foreachBatch body for STREAMING hybrid retrieval (the RAG-ingest
+    * shape): each micro-batch of [[CorpusEvent]]s is scored against a
+    * broadcast standing-query set — keyword side on arriving text
+    * (distinct-token overlap with `qtoks`), vector side on arriving
+    * embeddings (rounded cosine against `qvecs`) — and each side's
+    * per-query top-`k` survivors land as the batch's own partition of a
+    * parquet candidate index.
+    *
+    * Why per-batch top-k is LOSSLESS: ranks downstream are computed over
+    * each side's global top-k, and under the total order
+    * (score desc, id asc) the global top-k is always contained in the
+    * union of per-batch top-ks — so [[hybridSearchIndex]] over the
+    * accumulated index equals the one-shot batch computation exactly
+    * (the parity the streaming spec pins against the oracle-checked
+    * s7 entry). Replay-idempotent the same way as
+    * [[incrementalDedupBatch]]: a retried batchId overwrites its own
+    * partition, never duplicates candidates.
+    *
+    * Scale shape: per batch, the keyword side touches only docs sharing
+    * ≥ 1 query token (broadcast posting-list probe) and the vector side
+    * is one broadcast-query scan of the batch; both cuts run through the
+    * native bounded-heap operator, so state outside the engine is
+    * O(queries × k) per batch — never corpus-sized.
+    */
+  def hybridCandidatesBatch(qtoks: DataFrame, qvecs: DataFrame,
+                            indexPath: String, k: Int = 20)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.ops.Similarity.{dot, withUnit}
+    val toks = batch.filter(col("text").isNotNull)
+      .select(col("id").as("doc_id"), explode(expr(
+        "array_distinct(filter(split(lower(text), '[^a-z]+'), t -> t != ''))")).as("tok"))
+    val kw = toks.join(broadcast(qtoks), Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("kw_score"))
+    val kwTop = graft.plans.TopKPerGroup.topKPerGroup(
+      kw, Seq("query_id"), Seq(("kw_score", false), ("doc_id", true)), k)
+      .select(col("query_id"), col("doc_id").as("id"),
+        lit("kw").as("side"), col("kw_score").cast("double").as("score"))
+    val unit = withUnit(batch.filter(col("embedding").isNotNull)
+      .select(col("id").as("vec_id"), col("embedding")))
+    val scored = unit.join(broadcast(qvecs), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qunit"), col("unit")), 6).as("cos"))
+    val vecTop = graft.plans.TopKPerGroup.topKPerGroup(
+      scored, Seq("query_id"), Seq(("cos", false), ("vec_id", true)), k)
+      .select(col("query_id"), col("vec_id").as("id"),
+        lit("vec").as("side"), col("cos").as("score"))
+    kwTop.unionByName(vecTop)
+      .write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+  }
+
+  /** Query the accumulated hybrid candidate index: re-cut each side to
+    * its GLOBAL per-query top-`k` (bounded heap again — the index holds
+    * ≤ k·batches rows per query/side, tiny), then rank + RRF-fuse with
+    * the exact arithmetic of the batch entry
+    * ([[graft.ops.Similarity.rrfFuse]]). Serving a query set is one
+    * read of a k·batches-bounded table — no corpus access at all.
+    */
+  def hybridSearchIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, k: Int = 20, topN: Int = 10): DataFrame = {
+    val cand = spark.read.parquet(indexPath)
+    def side(s: String) = graft.plans.TopKPerGroup.topKPerGroup(
+      cand.filter(col("side") === s).select("query_id", "id", "score"),
+      Seq("query_id"), Seq(("score", false), ("id", true)), k)
+    graft.ops.Similarity.rrfFuse(side("kw"), side("vec"), topN)
   }
 }
