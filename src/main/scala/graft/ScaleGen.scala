@@ -47,8 +47,24 @@ object ScaleGen {
       val base = read(t)
       (0 until factor).map(i => mut(base, i)).reduce(_ unionByName _)
     }
-    def shift(df: DataFrame, c: String, by: Long): DataFrame =
+    // Strides only guarantee disjoint copies when the SOURCE keys are
+    // below the stride — i.e. the source is an original driver sf dir,
+    // not itself ScaleGen output (10×(10×sf0.1) collides custkeys where
+    // 100×sf0.1 does not; the CDC key-uniqueness guard caught exactly
+    // this in round 7). Fail fast instead of writing a corpus whose
+    // duplicate keys silently reshape every join's cardinality.
+    val strideChecked = scala.collection.mutable.Set.empty[String]
+    def shift(df: DataFrame, c: String, by: Long): DataFrame = {
+      if (by > 0 && strideChecked.add(c)) { // by = i*stride; first shifted copy checks
+        val stride = by
+        val mx = df.agg(max(col(c))).collect()(0).getAs[Number](0).longValue
+        require(mx < stride,
+          s"$c max $mx >= stride $stride: the source dir already carries " +
+            "shifted keys (ScaleGen output?) — regenerate from the original " +
+            "sf dir with a single larger factor instead of re-scaling output")
+      }
       df.withColumn(c, col(c) + lit(by))
+    }
 
     // key-space strides: larger than any key at the source SF ×factor
     val ORD = 100000000L; val CUST = 10000000L; val SUPP = 1000000L
