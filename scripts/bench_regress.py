@@ -45,17 +45,25 @@ def short_id(name):
 
 
 def load_queries(path):
+    """Returns (timings, total, variance, errored): `errored` is the set
+    of entries the bench recorded as "err" (graft.Bench emits that — and
+    exits nonzero — when an entry throws instead of timing the failure).
+    """
     text = open(path).read()
     try:
         doc = json.loads(text)
     except json.JSONDecodeError:
         doc = {"tail": text}
     if isinstance(doc, dict) and "queries" in doc:
-        qs = {short_id(k): v for k, v in doc["queries"].items()}
-        if len(qs) != len(doc["queries"]):
+        raw = doc["queries"]
+        errored = {short_id(k) for k, v in raw.items()
+                   if not isinstance(v, (int, float))}
+        qs = {short_id(k): v for k, v in raw.items()
+              if isinstance(v, (int, float))}
+        if len(qs) + len(errored) != len(raw):
             sys.exit(f"{path}: short-id collision would silently merge entries")
         var = {short_id(k): v for k, v in doc.get("variance", {}).items()}
-        return qs, float(doc.get("value", sum(qs.values()))), var
+        return qs, float(doc.get("value", sum(qs.values()))), var, errored
     # driver artifact: the bench line lives (possibly truncated) in "tail"
     tail = doc.get("tail", "") if isinstance(doc, dict) else ""
     m = re.search(r'"queries":\{([^}]*)\}', tail)
@@ -66,17 +74,18 @@ def load_queries(path):
         # head of the line cut off: salvage every "name":sec pair in the tail
         body = tail
     for name, sec in re.findall(r'"([a-z]\w+)":([0-9.]+)', body):
-        if name not in ("value", "sf", "n", "rc", "cpus"):
+        if name not in ("value", "sf", "n", "rc", "cpus", "errors"):
             sid = short_id(name)
             if sid in pairs:
                 sys.exit(f"{path}: short-id collision on {sid!r} "
                          "would silently merge entries")
             pairs[sid] = float(sec)
+    errored = {short_id(n) for n in re.findall(r'"([a-z]\w+)":"err"', body)}
     tm = re.search(r'"metric":"total","value":([0-9.]+)', tail)
     total = float(tm.group(1)) if tm else sum(pairs.values())
-    if not pairs:
+    if not pairs and not errored:
         sys.exit(f"could not recover any per-query timings from {path}")
-    return pairs, total, {}
+    return pairs, total, {}, errored
 
 
 def main():
@@ -89,19 +98,25 @@ def main():
                     help="baseline entries faster than this are noise-exempt")
     args = ap.parse_args()
 
-    base, base_total, base_var = load_queries(args.baseline)
-    cur, cur_total, _ = load_queries(args.current)
+    base, base_total, base_var, base_err = load_queries(args.baseline)
+    cur, cur_total, _, cur_err = load_queries(args.current)
 
     common = sorted(set(base) & set(cur))
     print(f"baseline: {len(base)} entries ({base_total:.1f}s total)  "
           f"current: {len(cur)} entries ({cur_total:.1f}s total)  "
           f"common: {len(common)}")
-    for name in sorted(set(cur) - set(base)):
+    for name in sorted(set(cur) - set(base) - cur_err):
         print(f"  NEW     {name:<22} {cur[name]:7.2f}s")
-    for name in sorted(set(base) - set(cur)):
-        print(f"  DROPPED {name:<22} was {base[name]:7.2f}s")
 
     fatal = []
+    # An entry that USED to run and now errors — or silently vanished from
+    # the current artifact — is the worst kind of regression (BENCH_r07
+    # recorded fail-fast latencies as 10x "speedups"). Always fatal, no
+    # noise exemption.
+    for name in sorted((set(base) - set(cur)) | (set(base) & cur_err)):
+        why = "ERRORED" if name in cur_err else "VANISHED"
+        print(f"  {why} {name:<22} was {base[name]:7.2f}s  [FATAL]")
+        fatal.append(name)
     for name in common:
         b, c = base[name], cur[name]
         ratio = c / b if b > 0 else float("inf")
@@ -123,9 +138,11 @@ def main():
 
     bt = sum(base[n] for n in common)
     ct = sum(cur[n] for n in common)
-    print(f"common-entry total: {bt:.1f}s -> {ct:.1f}s ({ct/bt:.2f}x)")
+    if bt > 0:
+        print(f"common-entry total: {bt:.1f}s -> {ct:.1f}s ({ct/bt:.2f}x)")
     if fatal:
-        print(f"FATAL: {len(fatal)} entries regressed >{args.threshold}x: {', '.join(fatal)}")
+        print(f"FATAL: {len(fatal)} entries regressed >{args.threshold}x, "
+              f"errored, or vanished: {', '.join(fatal)}")
         sys.exit(1)
     print("no fatal regressions")
 

@@ -79,22 +79,35 @@ object Bench {
       Thread.sleep(250)
     }
     reclaim()
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      reclaim()
-      name -> dt
-    }
+    // An entry that throws records "err", NOT its fail-fast latency: the
+    // round-7 testdata regeneration broke 8 entries at analysis time and
+    // the old swallow-and-time recorded 0.05 s "timings" a regression
+    // gate would read as a 10x speedup. Errors make the run red (exit 1)
+    // and bench_regress.py treats a present→err entry as fatal.
+    val results: Seq[(String, Either[String, Double])] =
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+        spark.catalog.clearCache()
+        reclaim()
+        name -> r
+      }
+    val errors = results.collect { case (n, Left(m)) => n -> m }
     def fmt(v: Double, dec: Int): String =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     def line(dec: Int, key: String => String): String = {
-      val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + fmt(v, dec) }
-        .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val qs = results.map {
+        case (k, Right(v)) => "\"" + key(k) + "\":" + fmt(v, dec)
+        case (k, Left(_))  => "\"" + key(k) + "\":\"err\""
+      }.mkString("{", ",", "}")
+      val total = results.collect { case (_, Right(v)) => v }.sum
       val sf = sfDir.split('/').last
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      val errField = if (errors.isEmpty) "" else s""","errors":${errors.size}"""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"$sf"$errField}"""
     }
     // stop Spark BEFORE printing so no shutdown logging lands after the
     // JSON line and pushes its head out of the driver's tail window
@@ -104,5 +117,10 @@ object Bench {
     val w = new java.io.PrintWriter(out)
     try w.println(line(3, identity)) finally w.close()
     println(line(3, shortId))
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size}/${results.size} entries FAILED: " +
+        errors.map(_._1).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -29,6 +29,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Timezone-less parquet timestamps (what pandas/arrow/DuckDB write)
+      // read as TIMESTAMP, not TIMESTAMP_NTZ: the engine's event-time
+      // operators (unix_micros, window, session_window) are defined over
+      // instants, and with a UTC session the two conventions agree on the
+      // same micros-since-epoch. Operators additionally cast their time
+      // inputs (eventTime/Relational call sites) so they stay correct
+      // even under a session that re-enables NTZ inference.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
@@ -56,18 +64,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** events.ts is nanosecond-precision parquet, which Spark 4 refuses to
-    * read as a timestamp. Read nanos as long (legacy conf) and truncate
-    * to microseconds — the same ns→us truncation DuckDB applies — so the
-    * engine-facing schema keeps `ts: timestamp`.
+  /** Event-time normalization seam: `events.ts` reads as an instant
+    * TIMESTAMP regardless of which writer produced the parquet —
+    * generators have shipped all three conventions across rounds, and a
+    * 100 TB lake ingest cannot dictate its writers:
+    *   - ns-precision INT64 timestamps (Spark 4 refuses to read them as
+    *     timestamps): read nanos as long (legacy conf) and truncate to
+    *     micros — the same ns→us truncation DuckDB applies;
+    *   - timezone-less timestamps (pandas/arrow `timestamp[us]`, Spark 4
+    *     default-infers TIMESTAMP_NTZ): reinterpreted as instants under
+    *     the session zone (UTC) — GraftSession additionally disables NTZ
+    *     inference, but the seam holds under foreign sessions too;
+    *   - tz'd TIMESTAMP: passthrough.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -71,9 +71,12 @@ object Profile {
   val q27_oracle: String = {
     val cols = Seq(
       "o_orderkey" -> "bigint", "o_custkey" -> "bigint", "o_orderstatus" -> "string",
-      "o_totalprice" -> "double", "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string")
+      "o_totalprice" -> "double", "o_orderdate" -> "timestamp", "o_orderpriority" -> "string")
     cols.map { case (c, t) =>
-      val castT = if (t == "timestamp_ntz") s"CAST($c AS TIMESTAMP)" else c
+      // tz-less parquet reads as an instant TIMESTAMP under GraftSession
+      // (inferTimestampNTZ=false — the r7/r8 writer-independence seam);
+      // DuckDB's naive timestamp stringifies identically under UTC.
+      val castT = if (t == "timestamp") s"CAST($c AS TIMESTAMP)" else c
       s"""SELECT '$c' AS col_name, '$t' AS col_type,
          |  (SELECT COUNT(*) FROM orders) AS n_rows,
          |  COUNT($c) AS n_nonnull,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Time-series operators beyond the q13/q20/q21 basics: Spark's native
@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object TimeOps {
 
+  /** Event-time epoch micros, writer-independent. Timezone-less parquet
+    * timestamps (the pandas/arrow convention — TIMESTAMP_NTZ under Spark
+    * 4's default inference) and tz'd ones both normalize through
+    * `cast("timestamp")`: a no-op on TIMESTAMP, a wall-clock→instant
+    * reinterpretation under the session zone (UTC) on NTZ. `unix_micros`
+    * alone rejects NTZ at analysis, so every event-time operator goes
+    * through this instead of calling it raw — a 100 TB ingest surface
+    * cannot dictate which writer produced its parquet.
+    */
+  def eventMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Event-time column as an instant TIMESTAMP, for time-window operators
+    * (`window`/`session_window`) whose output bound types follow the
+    * input type; same NTZ normalization as [[eventMicros]].
+    */
+  def eventTime(c: Column): Column = c.cast("timestamp")
+
   /** q24_session_window — native session_window (30 min gap) per user:
     * the declarative form of q20's manual gaps-and-islands, and the same
     * operator Structured Streaming uses for streaming sessionization.
@@ -19,7 +36,7 @@ object TimeOps {
     */
   def q24_session_window(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .groupBy(session_window(eventTime(col("ts")), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         col("user_id"),
@@ -69,12 +86,12 @@ object TimeOps {
     // `div` = exact integer division (timestamps-since-epoch are positive,
     // so truncation == floor); float division would misbucket at edges
     val l = left
-      .withColumn("_lus", unix_micros(col(leftTs)))
+      .withColumn("_lus", eventMicros(col(leftTs)))
       .withColumn("_bucket", explode(array_distinct(array(
         expr(s"(_lus + ${lowerUs}L) div ${w}L"),
         expr(s"(_lus + ${upperUs}L) div ${w}L")))))
     val r = right
-      .withColumn("_rus", unix_micros(col(rightTs)))
+      .withColumn("_rus", eventMicros(col(rightTs)))
       .withColumn("_bucket", expr(s"_rus div ${w}L"))
     l.join(r, Seq(key, "_bucket"))
       .filter(col("_rus") >= col("_lus") + lowerUs && col("_rus") <= col("_lus") + upperUs)
@@ -135,7 +152,7 @@ object TimeOps {
     val hourUs = 3600000000L
     val wUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
     val sess = Tables(spark, dir).events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), eventMicros(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(wUser))
       .withColumn("brk",
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))

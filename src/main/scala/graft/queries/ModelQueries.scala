@@ -160,7 +160,7 @@ object ModelQueries {
     """SELECT * FROM (VALUES
       |  ('typed_orders', CAST(0 AS BIGINT), 'o_orderkey', 'bigint'),
       |  ('typed_orders', 1, 'o_totalprice', 'double'),
-      |  ('typed_orders', 2, 'o_orderdate', 'timestamp_ntz'),
+      |  ('typed_orders', 2, 'o_orderdate', 'timestamp'),
       |  ('typed_orders', 3, 'is_big', 'boolean'),
       |  ('typed_summary', 0, 'is_big', 'boolean'),
       |  ('typed_summary', 1, 'n', 'bigint'),

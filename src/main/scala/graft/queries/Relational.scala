@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.TimeOps.{eventMicros, eventTime}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Caching.PersistSyntax
@@ -357,7 +358,7 @@ object Relational {
     val t = Tables(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
     t.events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), eventMicros(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn(
         "is_break",
@@ -454,9 +455,9 @@ object Relational {
     */
   def q58_sliding_window(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .groupBy(window(eventTime(col("ts")), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), money(col("value")).as("total"))
-      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+      .select(eventMicros(col("window.start")).as("ws"), col("event_type"),
         col("n"), col("total"))
       .orderBy("ws", "event_type")
 
@@ -580,7 +581,7 @@ object Relational {
       .select(col("user_id"), col("version"), col("event_type").as("dim_type"),
         col("valid_from_us"), col("valid_to_us"))
     val facts = Tables(spark, dir).events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), eventMicros(col("ts")).as("us"))
     facts.join(dim, Seq("user_id"))
       .filter(col("us") >= col("valid_from_us") &&
         (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
@@ -1065,7 +1066,8 @@ object Relational {
   def q51_resample(spark: SparkSession, dir: String): DataFrame = {
     val perHour = Tables(spark, dir).events
       .select(col("user_id"),
-        expr("unix_micros(ts) DIV 3600000000").as("h"), col("value"))
+        expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("h"),
+        col("value"))
       .groupBy("user_id", "h")
       .agg(count(lit(1)).as("n_events"), money(col("value")).as("hour_value"))
     val grid = perHour.groupBy("user_id")
@@ -1097,7 +1099,7 @@ object Relational {
     val wAll = Window.partitionBy("user_id")
     Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        eventMicros(col("ts")).as("us"))
       .withColumn("first_seen",
         when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -1143,7 +1145,7 @@ object Relational {
     val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
     Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+        eventMicros(col("ts")).as("us"))
       .withColumn("prev_type", lag("event_type", 1).over(w))
       .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
       .withColumn("version", row_number().over(w).cast("long"))
