@@ -389,4 +389,181 @@ object PipelineOps {
        |FROM ticketed WHERE ticket < rate
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
+
+  // ---- t20: RAG document chunking ------------------------------------
+  private val CHUNK = 64 // tokens per chunk
+  private val STRIDE = 48 // chunk start stride (16-token overlap)
+
+  /** t20_chunk — overlapping token-window chunking, the universal RAG /
+    * embedding-ingest front end: each document becomes
+    * `1 + ceil(max(0, len-64)/48)` chunks of ≤ 64 whitespace tokens
+    * starting every 48 (16-token overlap so no sentence is split across
+    * a hard boundary without context). Chunk count, starts, and text are
+    * pure integer arithmetic + array slicing, so the oracle reproduces
+    * them byte-for-byte. Each chunk carries a stable global id
+    * (doc_id·10⁴ + index — chunk counts are len/48 ≤ 10⁴ at any real
+    * doc length) and a sha256-derived content fingerprint, the handle a
+    * downstream embedding or dedup stage keys on.
+    *
+    * Scale shape: one narrow scan — tokenize, explode a `sequence` of
+    * chunk INDICES (never the payload: `slice` on the kept token array
+    * materializes each chunk once), zero shuffles. At 100 TB this is a
+    * map-only stage that pipelines straight into the shard writer (t22)
+    * or the embedding batcher (m-family). [oracle]
+    */
+  def t20_chunk(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .select(col("doc_id"), expr(TextOps.TOKENS).as("toks"))
+      .withColumn("n_chunks",
+        expr(s"(greatest(size(toks) - $CHUNK, 0) + ${STRIDE - 1}) div $STRIDE + 1"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, cast(n_chunks - 1 as int))")).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * STRIDE + 1)
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("toks"), col("start_tok"), lit(CHUNK))))
+      .select(
+        (col("doc_id") * 10000L + col("chunk_idx")).as("chunk_id"),
+        col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        expr(s"cast(size(slice(toks, start_tok, $CHUNK)) as bigint)").as("n_tokens"),
+        graft.functions.HashExpressions.sha256PrefixLong(col("chunk_text"), 15)
+          .as("chunk_fp"),
+        col("chunk_text"))
+      .orderBy("chunk_id")
+  }
+
+  val t20_oracle: String =
+    s"""WITH toksd AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |counted AS (
+       |  SELECT doc_id, toks,
+       |    (greatest(len(toks) - $CHUNK, 0) + ${STRIDE - 1}) // $STRIDE + 1 AS n_chunks
+       |  FROM toksd),
+       |chunks AS (
+       |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM counted),
+       |built AS (
+       |  SELECT doc_id, chunk_idx, chunk_idx * $STRIDE + 1 AS start_tok,
+       |    array_to_string(toks[chunk_idx * $STRIDE + 1 : chunk_idx * $STRIDE + $CHUNK], ' ') AS chunk_text,
+       |    len(toks[chunk_idx * $STRIDE + 1 : chunk_idx * $STRIDE + $CHUNK]) AS n_tok
+       |  FROM chunks)
+       |SELECT doc_id * 10000 + chunk_idx AS chunk_id, doc_id,
+       |  CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(n_tok AS BIGINT) AS n_tokens,
+       |  ('0x' || substr(sha256(chunk_text), 1, 15))::BIGINT AS chunk_fp,
+       |  chunk_text
+       |FROM built ORDER BY chunk_id""".stripMargin
+
+  // ---- t21: linear quality-classifier scoring ------------------------
+  private val CLS_BUCKETS = 4096L
+  private val CLS_WRANGE = 2001L // weights in [0, 2000], centered at 1000
+
+  /** t21_classifier_score — fastText-style linear classifier scoring at
+    * corpus scale: hash each token into one of 4096 buckets, look up a
+    * per-bucket weight, and score the document by the token-frequency-
+    * weighted mean. This is the shape of EVERY production quality /
+    * toxicity / language-register filter that has to touch 100 TB — a
+    * linear model over hashed bag-of-words features, evaluated as pure
+    * per-row arithmetic (the model lives IN the expression; a real
+    * deployment would broadcast a trained weight table keyed by the same
+    * bucket ids). Weights here are sha-derived pseudo-weights so both
+    * engines reproduce the exact integers end-to-end.
+    *
+    * Integer discipline: weights live in [0, 2000] (offset +1000) so
+    * every division is over non-negative longs — Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and they only
+    * agree on non-negatives; the 1000-offset is subtracted AFTER the
+    * division, in fixed-point. Scale shape: tokenize + explode + one
+    * (doc,bucket) aggregate that collapses straight back to per-doc —
+    * one shuffle keyed by doc_id, weight lookup is expression-local.
+    * [oracle]
+    */
+  def t21_classifier_score(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(expr(TextOps.TOKENS)).as("tok"))
+      .withColumn("bucket", pmod(sha256PrefixLong(col("tok"), 8), lit(CLS_BUCKETS)))
+      .withColumn("w",
+        pmod(sha256PrefixLong(concat(lit("w"), col("bucket")), 8), lit(CLS_WRANGE)))
+    toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("w")).cast("long").as("wsum"))
+      .withColumn("score_fp",
+        expr("wsum * 1000000 div greatest(n_tokens, 1) - 1000000000"))
+      .withColumn("keep", col("score_fp") > 0)
+      .select("doc_id", "n_tokens", "score_fp", "keep")
+      .orderBy("doc_id")
+  }
+
+  val t21_oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(sha256(tok), 1, 8))::BIGINT % $CLS_BUCKETS AS bucket
+       |  FROM toks),
+       |weighted AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(sha256('w' || CAST(bucket AS VARCHAR)), 1, 8))::BIGINT % $CLS_WRANGE AS w
+       |  FROM feat),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS wsum
+       |  FROM weighted GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  wsum * 1000000 // greatest(n_tokens, 1) - 1000000000 AS score_fp,
+       |  (wsum * 1000000 // greatest(n_tokens, 1) - 1000000000) > 0 AS keep
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
+  // ---- t22: deterministic training-shard manifest --------------------
+  private val SHARDS = 32L
+
+  /** t22_shard_manifest — the manifest of a deterministic training-data
+    * shard export: every document is assigned a shard by
+    * sha256(doc_id) mod 32 (reproducible across runs, retries, engines,
+    * and cluster sizes — t15's ticket discipline applied to placement),
+    * and the manifest reports per-shard document count, whitespace-token
+    * count, doc_id range, and a content checksum (sum of per-doc sha
+    * fingerprints mod 10¹², order-independent so any partitioning
+    * computes the same value). This is the data-card artifact a 100 TB
+    * export job publishes next to its files; the actual file write is
+    * `df.write.partitionBy("shard")` with this exact shard column
+    * (sources/Sources.scala's dynamic-overwrite discipline).
+    *
+    * Scale shape: one narrow scan (hash + token count per row) + one
+    * 32-group aggregate with map-side partials — no shuffle wider than
+    * 32 keys. [oracle]
+    */
+  def t22_shard_manifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
+    Tables(spark, dir).documents
+      .select(
+        pmod(sha256PrefixLong(col("doc_id").cast("string"), 15), lit(SHARDS))
+          .as("shard"),
+        col("doc_id"),
+        expr(s"cast(size(${TextOps.TOKENS}) as bigint)").as("ntok"),
+        pmod(sha256PrefixLong(col("text"), 15), lit(1000000000000L)).as("fp"))
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("ntok").cast("long").as("n_tokens"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        sum("fp").cast("long").as("checksum"))
+      .orderBy("shard")
+  }
+
+  val t22_oracle: String =
+    s"""WITH assigned AS (
+       |  SELECT
+       |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $SHARDS AS shard,
+       |    doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok,
+       |    ('0x' || substr(sha256(text), 1, 15))::BIGINT % 1000000000000 AS fp
+       |  FROM documents)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       |  CAST(SUM(fp) AS BIGINT) AS checksum
+       |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
 }

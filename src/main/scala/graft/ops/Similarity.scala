@@ -721,4 +721,96 @@ object Similarity {
       |    ORDER BY rrf DESC, id ASC) AS BIGINT)
       |    AS fused_rank FROM rrfed)
       |WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""".stripMargin
+
+  /** s8_bm25 — BM25 lexical retrieval (Robertson/Spärck Jones, the
+    * default first-stage ranker everywhere RRF fuses something): per
+    * query, score = Σ_terms idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the standard k1=1.2, b=0.75, fused-rank top-10 per query over
+    * s7's query set. Both factors are kept RATIONAL in fixed-point longs
+    * — idf's log is replaced by its monotone rational argument
+    * (2(N−df)+1)/(2df+1) scaled ×10⁶ (order-isomorphic per term, and
+    * like log-idf it drives frequent-term contributions toward zero),
+    * and the tf saturation term is cross-multiplied by 20·avgdl so the
+    * whole score is integer arithmetic — bit-identical in any engine,
+    * like t12's rational idf. All divisions are non-negative (Spark
+    * `div` truncates, DuckDB `//` floors; they agree only there).
+    *
+    * Scale shape: the tokenize+explode scan joins the BROADCAST query
+    * vocabulary first — the join IS the posting-list probe, so tf/df
+    * aggregation touches only documents sharing a query term, never the
+    * corpus (s7's discipline). Corpus stats (N, total tokens) are one
+    * 1-row aggregate; dl rides the explode so no corpus-sized dl join.
+    * Top-10 per query runs through the native bounded-heap operator.
+    * [oracle]
+    */
+  def s8_bm25(spark: SparkSession, dir: String): DataFrame = {
+    val nQ = 3
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val withToks = docs.select(col("doc_id"),
+      expr("filter(split(lower(text), '[^a-z]+'), t -> t != '')").as("toks"))
+    val toks = withToks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+    val qtoks = broadcast(toks.filter(col("doc_id") < nQ)
+      .select(col("doc_id").as("query_id"), col("tok")).distinct())
+    val matches = toks.join(qtoks, Seq("tok"))
+    // true corpus df per query term: matched rows cover EVERY doc
+    // containing the term, so distinct-doc counts there are exact
+    val dfT = matches.select("tok", "doc_id").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val tfT = matches.filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val stats = withToks.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("a_tokens"))
+    val scored = tfT
+      .join(broadcast(dfT), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_fp",
+        expr("(1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("tfc_fp", expr(
+        "(100000 * 44 * a_tokens * tf) div " +
+          "(20 * a_tokens * tf + 6 * a_tokens + 18 * dl * n_docs)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr("idf_fp * tfc_fp div 100000")).cast("long").as("score_fp"))
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("query_id"), Seq(("score_fp", false), ("doc_id", true)), 10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score_fp").desc, col("doc_id").asc)).cast("long"))
+      .select("query_id", "rank", "doc_id", "score_fp")
+      .orderBy("query_id", "rank")
+  }
+
+  val s8_oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      |    FROM documents) WHERE tok <> ''),
+      |dl_t AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM toks WHERE doc_id < 3),
+      |matches AS (
+      |  SELECT q.query_id, t.doc_id, t.tok FROM toks t JOIN qt q USING (tok)),
+      |df_t AS (
+      |  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM matches GROUP BY tok),
+      |tf_t AS (
+      |  SELECT query_id, doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM matches WHERE doc_id <> query_id GROUP BY 1, 2, 3),
+      |stats AS (
+      |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |         (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM dl_t) AS a_tokens),
+      |scored AS (
+      |  SELECT query_id, doc_id, CAST(SUM(
+      |    ((1000000 * (2 * (n_docs - df) + 1)) // (2 * df + 1))
+      |      * ((100000 * 44 * a_tokens * tf) //
+      |         (20 * a_tokens * tf + 6 * a_tokens + 18 * dl * n_docs))
+      |      // 100000) AS BIGINT) AS score_fp
+      |  FROM tf_t JOIN df_t USING (tok) JOIN dl_t USING (doc_id) CROSS JOIN stats
+      |  GROUP BY query_id, doc_id)
+      |SELECT query_id, rank, doc_id, score_fp FROM (
+      |  SELECT query_id, doc_id, score_fp, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.{PipelineOps, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts for the round-8 corpus operators (s8/t20/t21/t22)
+  * beyond their DuckDB-oracle exactness: the properties that must hold
+  * at ANY scale and that a hash compare on one SF cannot pin by itself.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("s8: BM25 ranks a rare-term doc above a common-term doc, idf drives it") {
+    // synthetic corpus written to parquet so the entry runs end-to-end:
+    // doc 0 is the query ("rareterm commonterm"); doc 10 carries the rare
+    // term (df=2: query+itself), docs 11..29 all carry the common term
+    val dir = java.nio.file.Files.createTempDirectory("graft_s8_").toString
+    val rows = Seq((0L, "rareterm commonterm")) ++
+      Seq((10L, "rareterm filler words here")) ++
+      (11L to 29L).map(i => (i, "commonterm filler words here"))
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings table unused by s8 but Tables reads lazily — not needed
+    val out = Similarity.s8_bm25(spark, dir)
+      .filter(col("query_id") === 0).collect()
+    assert(out.nonEmpty)
+    val best = out.minBy(_.getAs[Long]("rank"))
+    assert(best.getAs[Long]("doc_id") == 10L,
+      s"rare-term doc must outrank the 19 common-term docs: ${out.toSeq}")
+    // every common-term doc scores identically (same tf/dl/df) — ties
+    // break by doc_id so ranks 2..10 are 11..19 in order
+    val tail = out.filter(_.getAs[Long]("rank") > 1).sortBy(_.getAs[Long]("rank"))
+    assert(tail.map(_.getAs[Long]("doc_id")).toSeq == (11L to 19L).toSeq)
+  }
+
+  test("t20: chunks cover every token, overlap by CHUNK-STRIDE, ids stable") {
+    val chunks = PipelineOps.t20_chunk(spark, sfDir)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens").collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    for ((_, cs) <- byDoc) {
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      // starts advance by exactly the stride
+      assert(sorted.zipWithIndex.forall { case (r, i) =>
+        r.getAs[Long]("start_tok") == i * 48L + 1 })
+      // all chunks but the last are full; coverage: last chunk reaches
+      // the end (start + len - 1 >= doc token count follows from the
+      // ceil-count arithmetic, proven by the full chunks before it)
+      assert(sorted.dropRight(1).forall(_.getAs[Long]("n_tokens") == 64L))
+      val last = sorted.last
+      assert(last.getAs[Long]("n_tokens") >= 1L || sorted.length == 1)
+    }
+    // re-running produces the identical chunk set (stable ids)
+    val again = PipelineOps.t20_chunk(spark, sfDir)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens").collect()
+    assert(chunks.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("t21: score is content-determined and the keep cut is non-trivial") {
+    val scores = PipelineOps.t21_classifier_score(spark, sfDir).collect()
+    assert(scores.nonEmpty)
+    val kept = scores.count(_.getAs[Boolean]("keep"))
+    // sha-derived weights center at 1000 => roughly half kept; the cut
+    // must separate, not rubber-stamp (all-keep/all-drop = broken score)
+    assert(kept > 0 && kept < scores.length,
+      s"keep cut must separate: $kept of ${scores.length}")
+    // identical text => identical score (pure function of content)
+    val dir = java.nio.file.Files.createTempDirectory("graft_t21_").toString
+    spark.createDataFrame(Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pair = PipelineOps.t21_classifier_score(spark, dir).collect()
+    assert(pair.length == 2 &&
+      pair.map(_.getAs[Long]("score_fp")).distinct.length == 1)
+  }
+
+  test("t22: manifest is partitioning-invariant and accounts every doc") {
+    val m = PipelineOps.t22_shard_manifest(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir).documents
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // same manifest from a differently-partitioned read of the same data
+    val repart = java.nio.file.Files.createTempDirectory("graft_t22_").toString
+    docs.repartition(7).write.mode("overwrite")
+      .parquet(s"$repart/documents.parquet")
+    val m2 = PipelineOps.t22_shard_manifest(spark, repart).collect()
+    assert(m.map(_.toSeq).toSet == m2.map(_.toSeq).toSet,
+      "shard assignment and checksums must not depend on partitioning")
+  }
+}
