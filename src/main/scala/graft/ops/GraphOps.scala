@@ -140,6 +140,73 @@ object GraphOps {
       |       CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM n GROUP BY nation ORDER BY nation""".stripMargin
 
+  /** g3_shortest_path — hop distances from nation 0 over the HEAVY-lane
+    * directed trade graph (g2's exact 75th-percentile cut, so the graph
+    * is sparse enough for distances > 1 at every SF): 8 bounded
+    * Bellman-Ford rounds of `dist' = min(dist, min_incoming(dist_src+1))`
+    * with 999 as the unreachable sentinel. A FIXED round count (g1's
+    * discipline) makes the result a deterministic integer recurrence —
+    * identical across partitionings, retries, and engines — rather than
+    * a convergence race; 8 rounds cover any diameter the 25-node
+    * contracted graph can have. Shape: the heavy work is the one
+    * contracted-edge aggregation (checkpointed, reused all rounds);
+    * each round is a join + min-aggregate on the contracted graph, the
+    * frontier never touches fact tables. [oracle: DuckDB recursive CTE,
+    * same recurrence]
+    */
+  def g3_shortest_path(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ew = tradeEdges(t).localCheckpoint(true)
+    val thr = ew.agg(expr("percentile(w, 0.75)").as("thr")).first().getDouble(0)
+    val ed = ew.filter(col("w") >= thr).filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = t.nation.select(col("n_nationkey").cast("long").as("nation"))
+      .localCheckpoint(true)
+    var dist = nodes.withColumn("dist",
+      when(col("nation") === 0, lit(0L)).otherwise(lit(999L)))
+    for (i <- 0 until 8) {
+      val cand = ed.join(dist, col("src") === col("nation"))
+        .select(col("dst"), (col("dist") + 1).as("c"))
+        .groupBy("dst").agg(min(col("c")).as("cand"))
+      dist = dist.join(cand.withColumnRenamed("dst", "nation"), Seq("nation"), "left")
+        .select(col("nation"),
+          least(col("dist"), coalesce(col("cand"), lit(999L))).as("dist"))
+      if (i % 3 == 2 || i == 7) dist = dist.localCheckpoint(true)
+    }
+    dist.select(col("nation"), col("dist")).orderBy("nation")
+  }
+
+  /** DuckDB mirror of g3: same heavy-lane cut and the same bounded
+    * min-relaxation recurrence (g2's MATERIALIZED-edge discipline).
+    */
+  val g3_oracle: String =
+    """WITH RECURSIVE
+      |edw AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst, w, quantile_cont(w, 0.75) OVER () AS thr FROM edw)
+      |  WHERE w >= thr AND src <> dst),
+      |d AS (
+      |  SELECT 0 AS iter, n_nationkey AS nation,
+      |    CAST(CASE WHEN n_nationkey = 0 THEN 0 ELSE 999 END AS BIGINT) AS dist
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT d.iter + 1, d.nation,
+      |    LEAST(d.dist, COALESCE(u.cand, 999)) AS dist
+      |  FROM d LEFT JOIN (
+      |    SELECT e.dst, MIN(d2.dist + 1) AS cand
+      |    FROM d d2 JOIN e ON e.src = d2.nation GROUP BY e.dst) u
+      |    ON u.dst = d.nation
+      |  WHERE d.iter < 8
+      |)
+      |SELECT CAST(nation AS BIGINT) AS nation, dist
+      |FROM d WHERE iter = 8 ORDER BY nation""".stripMargin
+
   val g1_oracle: String =
     """WITH RECURSIVE
       |e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w

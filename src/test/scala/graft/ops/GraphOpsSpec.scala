@@ -33,6 +33,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(total > 0 && total % 3 == 0, s"incidence total $total not 3·k")
   }
 
+  test("g3: source is zero, distances respect edge relaxation at fixpoint") {
+    val dist = GraphOps.g3_shortest_path(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist(0L) == 0L, "source nation must be at distance 0")
+    assert(dist.values.forall(d => d >= 0 && (d <= 8 || d == 999L)),
+      s"8 rounds bound every reachable distance: $dist")
+    // fixpoint: no heavy-lane edge can still relax (8 rounds >= the
+    // 25-node contracted graph's diameter, so Bellman-Ford converged)
+    val t = Tables(spark, sfDir)
+    val ew = GraphOps.tradeEdges(t)
+    val thr = ew.agg(expr("percentile(w, 0.75)")).first().getDouble(0)
+    val edges = ew.filter(col("w") >= thr)
+      .filter(col("src") =!= col("dst")).select("src", "dst").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((s, d) <- edges if dist(s) < 999L)
+      assert(dist(d) <= dist(s) + 1,
+        s"edge $s->$d still relaxes: ${dist(s)} + 1 < ${dist(d)}")
+  }
+
   test("tradeEdges out-weights cover every customer nation that ordered") {
     val t = Tables(spark, sfDir)
     val edges = GraphOps.tradeEdges(t)
