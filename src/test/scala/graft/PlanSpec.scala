@@ -362,4 +362,41 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LessThan(vec_id,10)"),
       "query-side scan must push the vec_id<10 filter")
   }
+
+  test("s8: query vocabulary broadcasts; tf/df aggregate only posting-list matches") {
+    val df = graft.ops.Similarity.s8_bm25(spark, sfDir)
+    val plan = formatted(df)
+    // the query-token set, df table, and corpus stats all arrive
+    // broadcast — the corpus-sized token stream joins them without a
+    // corpus-wide exchange before the probe filter
+    assert(nodeCount(plan, "BroadcastExchange") >= 3,
+      s"query vocab + df + stats must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"posting-list probe must be a broadcast join:\n$plan")
+    // top-10 per query runs through the native bounded heap, never a
+    // corpus-sized window
+    val exec = df.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(exec).size >= 2,
+      s"final cut must use the partial+final heap operator:\n$exec")
+  }
+
+  test("t20: chunking is a pure narrow map — zero exchanges before the output sort") {
+    val plan = formatted(graft.ops.PipelineOps.t20_chunk(spark, sfDir))
+    // one scan, explode, projections; the only exchange is the final
+    // orderBy's range partitioning
+    assert(nodeCount(plan, "Scan parquet") == 1)
+    assert(nodeCount(plan, "Exchange") <= 1,
+      s"chunking must not shuffle the corpus:\n$plan")
+    assert(plan.contains("Generate"), "chunk-index fan-out must be an explode")
+  }
+
+  test("t22: shard manifest is one scan + one 32-key partial/final aggregate") {
+    val plan = formatted(graft.ops.PipelineOps.t22_shard_manifest(spark, sfDir))
+    assert(nodeCount(plan, "Scan parquet") == 1)
+    // partial (map-side) aggregation before the one 32-key exchange
+    assert(nodeCount(plan, "HashAggregate") == 2,
+      s"manifest agg must be partial+final:\n$plan")
+    assert(nodeCount(plan, "Exchange") <= 2, // agg shuffle + output sort
+      s"only the 32-key agg and the output sort may exchange:\n$plan")
+  }
 }
