@@ -156,15 +156,18 @@ object Similarity {
     ivfTopKFromUnit(graft.Caching.persist(
       withUnit(Tables(spark, dir).embeddings).select("vec_id", "unit")))
 
-  private def ivfTopKFromUnit(unit: DataFrame): DataFrame = {
-    val nlist = 16
-    val nprobe = 4
-
-    // --- train: deterministic init + 2 Lloyd iterations ---
+  /** Coarse quantizer training: deterministic init (first nlist unit
+    * vectors) + `rounds` distributed Lloyd iterations. Driver state is
+    * nlist×64 doubles — O(centroids), never O(corpus); each round is one
+    * narrow assignment pass + a 1024-row means aggregate. Shared by the
+    * IVF (s3) and IVF-PQ (s9) paths.
+    */
+  private def trainCoarseCentroids(unit: DataFrame, nlist: Int,
+                                   rounds: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = unit
       .filter(col("vec_id") < nlist).orderBy("vec_id")
       .collect().map(_.getSeq[Double](1).toArray)
-    for (_ <- 0 until 2) {
+    for (_ <- 0 until rounds) {
       val assigned = assignToCentroid(unit, centroids)
       // per-(cluster, dim) mean: 16×64 = 1024 rows back to the driver
       val means = assigned
@@ -178,6 +181,14 @@ object Similarity {
         if (n == 0) c else c.map(_ / n)
       }
     }
+    centroids
+  }
+
+  private def ivfTopKFromUnit(unit: DataFrame): DataFrame = {
+    val nlist = 16
+    val nprobe = 4
+
+    val centroids = trainCoarseCentroids(unit, nlist, 2)
 
     // --- assign corpus to inverted lists; queries probe nprobe lists ---
     val lists = assignToCentroid(unit, centroids)
@@ -578,6 +589,156 @@ object Similarity {
 
   /** Invariant oracle for s6: the literal quality contract. */
   val s6_oracle: String =
+    """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
+      |       TRUE AS recall_ok""".stripMargin
+
+  /** Minimum acceptable mean recall@5 of the IVF-PQ path against the
+    * exact s1 baseline (nprobe=4 of 16 lists caps it near s3's recall;
+    * pinned with the same headroom discipline as s3/s6).
+    */
+  val IvfPqMinRecall = 0.6
+
+  /** The composed FAISS-shaped index: IVF coarse partitioning + product
+    * quantization of the RESIDUALS (Jégou et al., TPAMI 2011 §IV —
+    * "IVFADC") — what a 100 TB vector corpus actually deploys, because
+    * the two approximations attack different costs: IVF prunes WHICH
+    * docs are scored (each query touches ~nprobe/nlist of the corpus),
+    * PQ shrinks WHAT is read per doc (16-byte codes instead of 256-byte
+    * vectors). Pipeline:
+    *
+    *   1. coarse quantizer: s3's trained centroids (2 Lloyd rounds,
+    *      O(centroids) driver state);
+    *   2. residual encode: r = unit − centroid(cluster), PQ codebooks
+    *      trained per subspace ON RESIDUALS (the residual distribution
+    *      is what PQ must capture — encoding raw vectors would waste
+    *      codebook entropy re-describing the coarse cell);
+    *   3. search: per (query, probed cluster) a 256-entry LUT over the
+    *      query's RESIDUAL against that cell's centroid; approximate
+    *      score = dot(q, centroid) + Σ_m LUT[m, code_m] — the ADC sum
+    *      reconstructs dot(q, centroid + residual);
+    *   4. top-50 shortlist via the native bounded heap, exact rerank.
+    *
+    * Like s3/s6, trained means are float-sum shuffle-order-dependent,
+    * so the driver entry emits the recall INVARIANT vs the shared exact
+    * baseline. [oracle: literal quality contract]
+    */
+  private def ivfpqTopKFromUnit(unit: DataFrame): DataFrame = {
+    val spark = unit.sparkSession
+    import spark.implicits._
+    val nlist = 16; val nprobe = 4
+    val M = 16; val K = 16; val subDim = 4
+
+    val centroids = trainCoarseCentroids(unit, nlist, 2)
+    val centDfCoarse = broadcast(centroids.zipWithIndex.toSeq.map { case (c, i) =>
+      (i, c.toSeq)
+    }.toDF("cluster", "centroid"))
+
+    // residual per doc within its coarse cell (one narrow pass)
+    val assigned = assignToCentroid(unit, centroids)
+      .join(centDfCoarse, Seq("cluster"))
+      .withColumn("resid", zip_with(col("unit"), col("centroid"), (a, b) => a - b))
+      .select(col("vec_id"), col("cluster"), col("resid"))
+      .persistTracked
+
+    val subvecs = assigned.select(col("vec_id"), col("cluster"),
+        explode(array((0 until M).map(s =>
+          struct(lit(s).as("sub"), slice(col("resid"), s * subDim + 1, subDim).as("subvec"))
+        ): _*)).as("sv"))
+      .select(col("vec_id"), col("cluster"), col("sv.sub").as("sub"),
+        col("sv.subvec").as("subvec"))
+      .persistTracked
+
+    def centDf(cent: Map[(Int, Int), Array[Double]]) =
+      broadcast(cent.toSeq.map { case ((s, c), v) =>
+        (s, c, v.toSeq, v.map(x => x * x).sum)
+      }.toDF("sub", "code", "cvec", "cnorm2"))
+
+    def assign(cents: DataFrame): DataFrame =
+      subvecs.join(cents, Seq("sub"))
+        .withColumn("score", dot(col("subvec"), col("cvec")) - col("cnorm2") * 0.5)
+        .groupBy("vec_id", "sub")
+        .agg(max_by(col("code"), struct(col("score"), -col("code"))).as("code"),
+          first(col("subvec")).as("subvec"))
+
+    // deterministic init: residual subvectors of docs 0..K-1
+    var cent: Map[(Int, Int), Array[Double]] = subvecs.filter(col("vec_id") < K)
+      .select("sub", "vec_id", "subvec").collect().map { r =>
+        (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt) ->
+          r.getSeq[Double](2).toArray
+      }.toMap
+    for (_ <- 0 until 2) {
+      val means = assign(centDf(cent))
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "v")))
+        .groupBy("sub", "code", "dim").agg(avg("v").as("m"))
+        .collect()
+      val next = scala.collection.mutable.Map(cent.toSeq: _*)
+      means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"))).foreach {
+        case (key, rows) =>
+          val v = new Array[Double](subDim)
+          rows.foreach(r => v(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
+          next(key) = v
+      }
+      cent = next.toMap
+    }
+
+    val codebook = centDf(cent)
+    val codes = assign(codebook).select("vec_id", "sub", "code")
+      .join(assigned.select("vec_id", "cluster"), Seq("vec_id"))
+
+    // query side: nprobe probed cells; per (query, cell) the residual
+    // LUT (10 queries × 4 probes × 16 subs × 16 codes = 10 240 rows)
+    // and the constant dot(q, centroid) term
+    val qprobe = unit.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
+      .withColumn("probes", slice(sortCentroidsByScore(col("qunit"), centroids), 1, nprobe))
+      .select(col("query_id"), col("qunit"), explode(col("probes")).as("cluster"))
+      .join(centDfCoarse, Seq("cluster"))
+      .withColumn("qbase", dot(col("qunit"), col("centroid")))
+      .withColumn("qres", zip_with(col("qunit"), col("centroid"), (a, b) => a - b))
+    val lut = qprobe.select(col("query_id"), col("cluster"), col("qbase"),
+        explode(array((0 until M).map(s =>
+          struct(lit(s).as("sub"), slice(col("qres"), s * subDim + 1, subDim).as("qsubvec"))
+        ): _*)).as("sv"))
+      .select(col("query_id"), col("cluster"), col("qbase"),
+        col("sv.sub").as("sub"), col("sv.qsubvec").as("qsubvec"))
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("cluster"), col("qbase"), col("sub"), col("code"),
+        dot(col("qsubvec"), col("cvec")).as("partial"))
+
+    // ADC over the probed cells' code lists only
+    val adc = codes.join(broadcast(lut), Seq("cluster", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg((first(col("qbase")) + sum(col("partial"))).as("approx"))
+    val shortlist = graft.plans.TopKPerGroup
+      .topKPerGroup(adc, Seq("query_id"), Seq(("approx", false), ("vec_id", true)), 50)
+
+    val rerank = shortlist
+      .join(unit, Seq("vec_id"))
+      .join(broadcast(unit.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("unit").as("qunit"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qunit"), col("unit")), 6).as("cosine"))
+    topKPerQuery(rerank, 5)
+  }
+
+  /** The IVF-PQ top-5 result shape (for specs and direct use). */
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfpqTopKFromUnit(graft.Caching.persist(
+      withUnit(Tables(spark, dir).embeddings).select("vec_id", "unit")))
+
+  /** s9's driver entry: the IVF-PQ pipeline's recall contract against
+    * the shared exact baseline.
+    */
+  def s9_ivfpq(spark: SparkSession, dir: String): DataFrame = {
+    val unit = graft.Caching.persist(
+      withUnit(Tables(spark, dir).embeddings).select("vec_id", "unit"))
+    recallContract(ivfpqTopKFromUnit(unit),
+      exactBaselinePairs(spark, dir), IvfPqMinRecall)
+  }
+
+  /** Invariant oracle for s9: the literal quality contract. */
+  val s9_oracle: String =
     """SELECT CAST(10 AS BIGINT) AS n_queries, CAST(5 AS BIGINT) AS k,
       |       TRUE AS recall_ok""".stripMargin
 

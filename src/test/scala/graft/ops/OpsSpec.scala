@@ -280,6 +280,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s9_ivfpq: residual-PQ recall@5 clears the contract at every local SF") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = Similarity.s1_ann_topk(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val ivfpq = Similarity.ivfpqTopK(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      val recall = ivfpq.intersect(exact).size.toDouble / exact.size
+      info(s"$sf: IVF-PQ recall@5 = $recall")
+      assert(recall >= Similarity.IvfPqMinRecall,
+        s"IVF-PQ recall@5 $recall below ${Similarity.IvfPqMinRecall} at $sf")
+      val row = Similarity.s9_ivfpq(spark, sf).collect().head
+      assert(row.getAs[Long]("n_queries") == 10L)
+      assert(row.getAs[Long]("k") == 5L)
+      assert(row.getAs[Boolean]("recall_ok"))
+    }
+  }
+
   test("s2_ann_lsh returns bucket-local neighbors; nonzero overlap with exact") {
     val exact = Similarity.s1_ann_topk(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
