@@ -553,6 +553,84 @@ object PipelineOps {
       .orderBy("shard")
   }
 
+  /** t23_substring_decontam — the exact-substring upgrade of t9's
+    * any-5-gram test (Lee et al. 2022's dedup/decontamination insight:
+    * SPAN length matters — one shared 5-gram is noise, a 50-token run
+    * is a leaked benchmark item). For each train doc, positional
+    * 5-grams matching the held-out split's gram set become match
+    * POSITIONS; the longest CONSECUTIVE position run (gaps-and-islands:
+    * island = pos − row_number over pos) gives the longest shared
+    * token span = run + 4. `contaminated_span` flags spans ≥ 12 tokens
+    * — the strict verdict t9's single-gram flag over-reads.
+    *
+    * Scale shape: t9's discipline — the eval gram set broadcasts, the
+    * corpus is one narrow scan + positional explode; only MATCHING
+    * rows (sparse: contaminated docs) reach the doc_id-partitioned
+    * island window, never the corpus. [oracle]
+    */
+  def t23_substring_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("toks", expr(TextOps.TOKENS))
+    val posGrams = docs.filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 4), " +
+          "i -> struct(i AS pos, concat_ws(' ', slice(toks, i, 5)) AS gram))")).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val eval_ = posGrams.filter(col("doc_id") % 100 >= 90)
+      .select("gram").distinct()
+    val matches = posGrams.filter(col("doc_id") % 100 < 80)
+      .join(broadcast(eval_), Seq("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val runs = matches
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(
+        sum("run").cast("long").as("n_matched_grams"),
+        (max("run") + 4).cast("long").as("longest_span"))
+    docs.filter(col("doc_id") % 100 < 80).select("doc_id")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        coalesce(col("longest_span") >= 12, lit(false)).as("contaminated_span"))
+      .orderBy("doc_id")
+  }
+
+  val t23_oracle: String =
+    """WITH toksd AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pg AS (
+      |  SELECT doc_id, unnest(range(1, len(toks) - 3)) AS pos, toks
+      |  FROM toksd WHERE len(toks) >= 5),
+      |grams AS (
+      |  SELECT doc_id, pos,
+      |    toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' ' ||
+      |    toks[pos+3] || ' ' || toks[pos+4] AS gram
+      |  FROM pg),
+      |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 100 >= 90),
+      |m AS (
+      |  SELECT doc_id, pos FROM grams JOIN ev USING (gram)
+      |  WHERE doc_id % 100 < 80),
+      |runs AS (
+      |  SELECT doc_id,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM m),
+      |islands AS (
+      |  SELECT doc_id, island, COUNT(*) AS run FROM runs GROUP BY doc_id, island),
+      |agged AS (
+      |  SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_matched_grams,
+      |    CAST(MAX(run) + 4 AS BIGINT) AS longest_span
+      |  FROM islands GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_matched_grams, 0) AS n_matched_grams,
+      |  COALESCE(a.longest_span, 0) AS longest_span,
+      |  COALESCE(a.longest_span >= 12, false) AS contaminated_span
+      |FROM documents d LEFT JOIN agged a ON d.doc_id = a.doc_id
+      |WHERE d.doc_id % 100 < 80
+      |ORDER BY d.doc_id""".stripMargin
+
   val t22_oracle: String =
     s"""WITH assigned AS (
        |  SELECT

@@ -77,6 +77,27 @@ class CorpusOpsSpec extends SparkSpec {
       pair.map(_.getAs[Long]("score_fp")).distinct.length == 1)
   }
 
+  test("t23: span length separates a leaked passage from one-gram noise") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t23_").toString
+    val evalText = (1 to 20).map(i => s"w$i").mkString(" ")
+    val leaked = (1 to 15).map(i => s"w$i").mkString(" ") + " unrelated tail here"
+    val oneGram = (1 to 5).map(i => s"w$i").mkString(" ") +
+      " completely different continuation of text body"
+    spark.createDataFrame(Seq(
+        (0L, leaked), (1L, oneGram), (90L, evalText)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineOps.t23_substring_decontam(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("longest_span"), r.getAs[Boolean]("contaminated_span"))).toMap
+    assert(out(0L) == (15L, true),
+      s"15-token leaked span must flag strict: ${out(0L)}")
+    assert(out(1L) == (5L, false),
+      s"one shared 5-gram must NOT flag strict: ${out(1L)}")
+  }
+
   test("t22: manifest is partitioning-invariant and accounts every doc") {
     val m = PipelineOps.t22_shard_manifest(spark, sfDir).collect()
     val docs = Tables(spark, sfDir).documents
