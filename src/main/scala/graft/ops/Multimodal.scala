@@ -520,4 +520,46 @@ object Multimodal {
       |        (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality
       |      FROM documents)
       |GROUP BY modality ORDER BY modality""".stripMargin
+
+  /** m6_media_dedup — exact-payload deduplication of the media lake (the
+    * d1 discipline applied to BINARY columns): group assets by
+    * sha256(payload) per modality and report the storage story — asset
+    * count, distinct payloads, duplicate assets, and the bytes a
+    * content-addressed store reclaims ((copies−1)·bytes per group).
+    * Byte-identical re-encodes are the dominant redundancy in scraped
+    * media corpora, and this is the scan that sizes it. The payload is
+    * hashed ONCE in the narrow scan and only the 32-byte digest enters
+    * the shuffle — megabyte payloads never become shuffle keys. [oracle]
+    */
+  def m6_media_dedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .select(col("modality"), sha2(col("payload"), 256).as("ph"),
+        length(col("payload")).cast("long").as("nb"))
+      .groupBy("modality", "ph")
+      .agg(count(lit(1)).as("copies"), first(col("nb")).as("nb"))
+      .groupBy("modality")
+      .agg(
+        sum("copies").cast("long").as("n_assets"),
+        count(lit(1)).as("n_unique_payloads"),
+        sum(col("copies") - 1).cast("long").as("n_dup_assets"),
+        sum((col("copies") - 1) * col("nb")).cast("long").as("bytes_reclaimable"))
+      .orderBy("modality")
+
+  /** DuckDB mirror of m6: the payload is the utf-8 text, so
+    * sha256(text) groups exactly the same byte streams.
+    */
+  val m6_oracle: String =
+    """WITH assets AS (
+      |  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |    sha256(text) AS ph, octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |groups AS (
+      |  SELECT modality, ph, COUNT(*) AS copies, MIN(nb) AS nb
+      |  FROM assets GROUP BY modality, ph)
+      |SELECT modality,
+      |  CAST(SUM(copies) AS BIGINT) AS n_assets,
+      |  COUNT(*) AS n_unique_payloads,
+      |  CAST(SUM(copies - 1) AS BIGINT) AS n_dup_assets,
+      |  CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_reclaimable
+      |FROM groups GROUP BY modality ORDER BY modality""".stripMargin
 }

@@ -98,6 +98,30 @@ class CorpusOpsSpec extends SparkSpec {
       s"one shared 5-gram must NOT flag strict: ${out(1L)}")
   }
 
+  test("m6: payload dedup accounts every asset; a known dup reclaims its bytes") {
+    val m = graft.ops.Multimodal.m6_media_dedup(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir).documents
+    assert(m.map(_.getAs[Long]("n_assets")).sum == docs.count())
+    m.foreach { r =>
+      assert(r.getAs[Long]("n_unique_payloads") +
+        r.getAs[Long]("n_dup_assets") == r.getAs[Long]("n_assets"))
+    }
+    // constructed: doc 0 and 3 share a payload (same modality: both id%3=0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_m6_").toString
+    spark.createDataFrame(Seq(
+        (0L, "same bytes"), (3L, "same bytes"), (1L, "other bytes")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Multimodal.m6_media_dedup(spark, dir).collect()
+      .map(r => r.getAs[String]("modality") ->
+        (r.getAs[Long]("n_dup_assets"), r.getAs[Long]("bytes_reclaimable"))).toMap
+    assert(out("image") == (1L, "same bytes".getBytes("UTF-8").length.toLong),
+      s"one duplicate image payload must reclaim its byte length: $out")
+    assert(out("audio") == (0L, 0L))
+  }
+
   test("t22: manifest is partitioning-invariant and accounts every doc") {
     val m = PipelineOps.t22_shard_manifest(spark, sfDir).collect()
     val docs = Tables(spark, sfDir).documents
