@@ -31,8 +31,13 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        failed(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        // record the whole cause chain: wrapper exceptions (encoder,
+        // codegen) routinely hide the actionable root cause
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(c => s"${c.getClass.getSimpleName}: ${String.valueOf(c.getMessage).take(300)}")
+          .mkString(" <- ")
+        System.err.println(s"[verify] $name FAILED: $chain")
+        failed(name) = chain.take(900)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
