@@ -560,12 +560,18 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("code"),
         dot(col("qsubvec"), col("cvec")).as("partial"))
 
+    // corpus-scaled rerank shortlist (d4's df-cap discipline, shared
+    // with s9): 16-byte codes rank a 200k corpus too coarsely for a
+    // flat 50 — the sf10 oracle sweep measured its recall contract red
+    // there, while ~0.4% of the corpus surviving to exact rerank keeps
+    // recall flat across decades at O(shortlist·|Q|) rerank cost.
+    val nShort = math.max(50L, unit.count() / 250).toInt
     val adc = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("partial")).as("approx"))
     val shortlist = graft.plans.TopKPerGroup
-      .topKPerGroup(adc, Seq("query_id"), Seq(("approx", false), ("vec_id", true)), 50)
+      .topKPerGroup(adc, Seq("query_id"), Seq(("approx", false), ("vec_id", true)), nShort)
 
     val rerank = shortlist
       .join(unit, Seq("vec_id"))
