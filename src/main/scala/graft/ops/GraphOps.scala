@@ -207,6 +207,92 @@ object GraphOps {
       |SELECT CAST(nation AS BIGINT) AS nation, dist
       |FROM d WHERE iter = 8 ORDER BY nation""".stripMargin
 
+  /** g4_components — connected components of the UNDIRECTED heavy-lane
+    * trade graph (g2's exact 75th-percentile cut): which nations form
+    * connected trading blocs once thin lanes are dropped, with each
+    * component labeled by its minimum nation id and sized. Completes
+    * the graph family: centrality (g1), cohesion (g2), reachability
+    * (g3), connectivity (g4).
+    *
+    * Algorithm: 24 bounded min-label relaxation rounds — label' =
+    * min(label, min over neighbors' labels). The min label travels one
+    * hop per round, and 24 rounds cover the worst-case diameter of a
+    * 25-node graph, so the FIXED round count (g1/g3's discipline) is a
+    * complete, deterministic integer recurrence — hash-exact against a
+    * recursive CTE, unlike a convergence loop. Shape: the heavy work is
+    * the one contracted-edge aggregation; every round is a join + min
+    * aggregate on the ≤ 25-node contracted graph. (Corpus-scale
+    * component labeling — millions of nodes, unbounded diameter — is
+    * d6's star-contraction labeler; this is the contracted-graph
+    * variant where bounded label-prop is both sufficient and exactly
+    * mirrorable.) [oracle: recursive CTE]
+    */
+  def g4_components(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ew = tradeEdges(t).localCheckpoint(true)
+    val thrRow = ew.agg(expr("percentile(w, 0.75)").as("thr")).first()
+    val thr = if (thrRow.isNullAt(0)) Double.MaxValue else thrRow.getDouble(0)
+    val eh = ew.filter(col("w") >= thr).filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val sym = eh.select(col("src").as("u"), col("dst").as("v"))
+      .union(eh.select(col("dst").as("u"), col("src").as("v")))
+      .distinct().localCheckpoint(true)
+    val nodes = t.nation.select(col("n_nationkey").cast("long").as("nation"))
+      .localCheckpoint(true)
+    var lab = nodes.withColumn("label", col("nation"))
+    for (i <- 0 until 24) {
+      val cand = sym.join(lab, col("u") === col("nation"))
+        .select(col("v"), col("label"))
+        .groupBy("v").agg(min(col("label")).as("cand"))
+      lab = lab.join(cand.withColumnRenamed("v", "nation"), Seq("nation"), "left")
+        .select(col("nation"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+      if (i % 4 == 3 || i == 23) lab = lab.localCheckpoint(true)
+    }
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("component_size"))
+    lab.join(sizes, Seq("label"))
+      .select(col("nation"), col("label").as("component"), col("component_size"))
+      .orderBy("nation")
+  }
+
+  /** DuckDB mirror of g4: same heavy-lane cut, symmetrized edges, and
+    * 24-round min-label recurrence (g2's MATERIALIZED-edge discipline).
+    */
+  val g4_oracle: String =
+    """WITH RECURSIVE
+      |edw AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |eh AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst, w, quantile_cont(w, 0.75) OVER () AS thr FROM edw)
+      |  WHERE w >= thr AND src <> dst),
+      |e AS MATERIALIZED (
+      |  SELECT src AS u, dst AS v FROM eh
+      |  UNION
+      |  SELECT dst AS u, src AS v FROM eh),
+      |l AS (
+      |  SELECT 0 AS iter, n_nationkey AS nation,
+      |    CAST(n_nationkey AS BIGINT) AS label
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT l.iter + 1, l.nation,
+      |    LEAST(l.label, COALESCE(c.cand, l.label)) AS label
+      |  FROM l LEFT JOIN (
+      |    SELECT e.v, MIN(l2.label) AS cand
+      |    FROM l l2 JOIN e ON e.u = l2.nation GROUP BY e.v) c
+      |    ON c.v = l.nation
+      |  WHERE l.iter < 24
+      |),
+      |fin AS (SELECT nation, label FROM l WHERE iter = 24),
+      |sz AS (SELECT label, COUNT(*) AS component_size FROM fin GROUP BY label)
+      |SELECT CAST(f.nation AS BIGINT) AS nation, f.label AS component,
+      |  CAST(sz.component_size AS BIGINT) AS component_size
+      |FROM fin f JOIN sz USING (label) ORDER BY nation""".stripMargin
+
   val g1_oracle: String =
     """WITH RECURSIVE
       |e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w

@@ -644,4 +644,90 @@ object PipelineOps {
        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
        |  CAST(SUM(fp) AS BIGINT) AS checksum
        |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** p2_mix_apply — APPLY a target corpus mix (t17 measures the mix,
+    * this operator enforces one): given a uniform target token share
+    * per source (1000 DIV n_sources permille — the rebalance-everything
+    * default), compute the largest achievable downsample-only plan and
+    * execute it with t15's deterministic sha-ticket sampling. Integer
+    * plan arithmetic throughout:
+    *
+    *   cap_s    = tokens_s·1000 DIV target   (budget each source supports)
+    *   budget   = min_s cap_s                (downsampling can only shrink)
+    *   rate_s   = (budget·target DIV 1000)·1000 DIV tokens_s   (permille)
+    *   keep doc ⇔ sha256('mix:'‖doc_id) mod 1000 < rate_s
+    *
+    * The salted ticket keeps this sample independent of t15's, and the
+    * pure-function keep decision is reproducible across runs, engines,
+    * retries, and cluster sizes. Emits the per-source plan + achieved
+    * mix — the before/after evidence a data card quotes.
+    *
+    * Scale shape: one narrow scan builds the compact (doc_id, source,
+    * toks, ticket) frame (persisted — stats pass + sample pass); the
+    * plan is an n_sources-row broadcast; the sample is a broadcast-join
+    * filter, zero corpus shuffles beyond the two tiny aggregates.
+    * [oracle]
+    */
+  def p2_mix_apply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        expr(s"size(${TextOps.TOKENS})").cast("long").as("toks"),
+        pmod(graft.functions.HashExpressions.sha256PrefixLong(
+          concat(lit("mix:"), col("doc_id").cast("string")), 15), lit(1000L)).as("ticket"))
+      .persistTracked
+    val cells = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("n_tokens"))
+    val plan = cells
+      .crossJoin(broadcast(cells.agg(count(lit(1)).as("n_src"))))
+      .withColumn("target_pm", expr("1000L DIV n_src"))
+      .withColumn("cap", expr("n_tokens * 1000L DIV target_pm"))
+    val rates = plan
+      .crossJoin(broadcast(plan.agg(min("cap").as("budget"))))
+      .withColumn("rate_pm", least(lit(1000L),
+        expr("(budget * target_pm DIV 1000L) * 1000L DIV n_tokens")))
+      .select("source", "n_docs", "n_tokens", "target_pm", "rate_pm")
+    val kept = docs
+      .join(broadcast(rates.select("source", "rate_pm")), Seq("source"))
+      .filter(col("ticket") < col("rate_pm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept_docs"), sum("toks").cast("long").as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .crossJoin(broadcast(kept.agg(sum("kept_tokens").cast("long").as("total_kept"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_pm"), col("rate_pm"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        expr("coalesce(kept_tokens, 0L) * 1000L DIV total_kept").as("achieved_pm"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of p2: identical integer plan + salted sha tickets. */
+  val p2_oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks,
+      |    ('0x' || substr(sha256('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS ticket
+      |  FROM documents),
+      |cells AS (
+      |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+      |  FROM d GROUP BY source),
+      |plan AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    1000 // (SELECT COUNT(*) FROM cells) AS target_pm,
+      |    n_tokens * 1000 // (1000 // (SELECT COUNT(*) FROM cells)) AS cap
+      |  FROM cells),
+      |rates AS (
+      |  SELECT source, n_docs, n_tokens, target_pm,
+      |    LEAST(1000, ((SELECT MIN(cap) FROM plan) * target_pm // 1000) * 1000 // n_tokens) AS rate_pm
+      |  FROM plan),
+      |kept AS (
+      |  SELECT d.source, COUNT(*) AS kept_docs, CAST(SUM(d.toks) AS BIGINT) AS kept_tokens
+      |  FROM d JOIN rates r ON r.source = d.source
+      |  WHERE d.ticket < r.rate_pm GROUP BY d.source)
+      |SELECT r.source, r.n_docs, r.n_tokens, r.target_pm, r.rate_pm,
+      |  CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+      |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+      |  COALESCE(k.kept_tokens, 0) * 1000 // (SELECT CAST(SUM(kept_tokens) AS BIGINT) FROM kept) AS achieved_pm
+      |FROM rates r LEFT JOIN kept k ON k.source = r.source
+      |ORDER BY r.source""".stripMargin
 }

@@ -998,4 +998,94 @@ object Similarity {
       |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id ASC) AS BIGINT) AS rank
       |  FROM scored)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** s10_ann_sq — SYMMETRIC int8 scalar quantization (the faiss
+    * `SQ8`-direct shape): every unit-vector coordinate compresses to
+    * `round(x·127) ∈ [−127, 127]`, so the 512-byte double vector
+    * becomes a 64-value integer code — the cheapest compressed index
+    * there is (no training, no codebooks), sitting between s1 (exact,
+    * full reads) and s6/s9 (trained PQ codes) in the accuracy/cost
+    * lattice. Scoring is the INTEGER inner product of code vectors
+    * (|Σ q·c| ≤ 64·127² < 2²⁰ — exactly representable, so the fold is
+    * order-independent and bit-identical in any engine); the top
+    * `max(50, n/250)` per query (s9's corpus-scaled shortlist
+    * discipline) survive to an exact-cosine rerank.
+    *
+    * Unlike s3/s6/s9 there is no shuffle-order-dependent training
+    * anywhere, so the WHOLE path — codes, integer scores, shortlist,
+    * rerank — is deterministic and the entry is fully hash-checked
+    * against DuckDB (s1's discipline), not a recall contract.
+    *
+    * Scale shape: the code map is narrow; scoring reads 64 small ints
+    * per doc instead of 64 doubles (4–8× less per candidate, and at
+    * 100 TB the code table is the only thing the scan touches);
+    * queries broadcast; both cuts run through the native bounded heap;
+    * the rerank joins the ≤ shortlist·|Q| survivors back to the full
+    * vectors — a broadcast-right join against one corpus scan. [oracle]
+    */
+  def s10_ann_sq(spark: SparkSession, dir: String): DataFrame =
+    sqTopKFromUnit(graft.Caching.persist(
+      withUnit(Tables(spark, dir).embeddings).select("vec_id", "unit")))
+
+  private def sqTopKFromUnit(unit: DataFrame): DataFrame = {
+    // integer-valued double codes: products/sums stay exact in double,
+    // and the native codegen'd dot expression scores them directly
+    val codes = unit.select(col("vec_id"),
+      expr("transform(unit, x -> round(x * 127))").as("codes"))
+    val qcodes = broadcast(codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes")))
+    val scored = codes.join(qcodes, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("qcodes"), col("codes")).cast("long").as("qscore"))
+    val nShort = math.max(50L, unit.count() / 250).toInt
+    val shortlist = graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("query_id"), Seq(("qscore", false), ("vec_id", true)), nShort)
+    val rerank = shortlist
+      .join(unit, Seq("vec_id"))
+      .join(broadcast(unit.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("unit").as("qunit"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qunit"), col("unit")), 6).as("cosine"))
+    topKPerQuery(rerank, 5)
+  }
+
+  /** DuckDB mirror of s10: same codes (round is away-from-zero on
+    * doubles in both engines), same integer scores, same corpus-scaled
+    * shortlist, same exact rerank — byte-for-byte.
+    */
+  val s10_oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id,
+      |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+      |  FROM v),
+      |c AS (
+      |  SELECT vec_id, unit, list_transform(unit, x -> round(x * 127)) AS codes
+      |  FROM u),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, d.vec_id,
+      |    CAST(list_dot_product(q.codes, d.codes) AS BIGINT) AS qscore
+      |  FROM c q JOIN c d ON d.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |short AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY qscore DESC, vec_id ASC) AS rn
+      |    FROM scored)
+      |  WHERE rn <= GREATEST(50, (SELECT COUNT(*) FROM embeddings) // 250)),
+      |rr AS (
+      |  SELECT s.query_id, s.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.unit, d.unit), 6) AS cosine
+      |  FROM short s
+      |  JOIN c d ON d.vec_id = s.vec_id
+      |  JOIN c q ON q.vec_id = s.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM rr)
+      |SELECT query_id, neighbor_id, cosine, rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 }

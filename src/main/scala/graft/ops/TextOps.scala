@@ -403,6 +403,72 @@ object TextOps {
       |  CAST(SUM(surprisal) // COUNT(*) AS BIGINT) AS avg_surprisal
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t24_ccnet_buckets — CCNet's LM-quality partitioning: score every
+    * document with t16's integer-rational surprisal, cut the corpus at
+    * its own 25th/75th surprisal percentiles, and report the resulting
+    * head (most fluent) / middle / tail buckets — the table a
+    * quality-stratified sampling run (keep head+middle, downweight
+    * tail) is configured from. Quartile cuts rather than CCNet's thirds
+    * ON PURPOSE: (n−1)·{0.25, 0.75} has an exactly-representable
+    * fractional part, so exact interpolation over the integer-valued
+    * surprisals involves no rounding in EITHER engine (g2's
+    * quantile_cont discipline); p = 1/3 would be 1-ulp fragile at the
+    * bucket boundary. Ties at a cut go to the lower bucket in both
+    * engines (<=).
+    *
+    * Scale shape: t16's pipeline plus a 1-row percentile aggregate
+    * (broadcast back) and a 3-group aggregate. The exact percentile
+    * buffers per-value counts — at extreme corpus cardinality swap in
+    * q45's mergeable percentile_approx and pin its rank-error contract
+    * instead. [oracle]
+    */
+  def t24_ccnet_buckets(spark: SparkSession, dir: String): DataFrame = {
+    // the compact (doc_id, n_bigrams, avg_surprisal) frame is read twice
+    // (cuts aggregate + bucketing) — persist IT, not t16's exploded stream
+    val scored = t16_lm_surprisal(spark, dir)
+      .select("doc_id", "n_bigrams", "avg_surprisal")
+      .persistTracked
+    val cuts = scored.agg(
+      expr("percentile(avg_surprisal, 0.25d)").as("c1"),
+      expr("percentile(avg_surprisal, 0.75d)").as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_surprisal") <= col("c1"), lit("head"))
+          .when(col("avg_surprisal") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bigrams").cast("long").as("n_bigrams"),
+        min("avg_surprisal").as("min_surprisal"),
+        max("avg_surprisal").as("max_surprisal"),
+        sum("doc_id").cast("long").as("sum_doc_id"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB mirror of t24, composed over t16's oracle: quantile_cont at
+    * {0.25, 0.75} interpolates integer surprisals exactly (fractions are
+    * powers of 1/4), so the cuts — and every bucket verdict — are
+    * bit-identical.
+    */
+  lazy val t24_oracle: String =
+    s"""WITH s AS ($t16_oracle),
+       |cuts AS (
+       |  SELECT quantile_cont(avg_surprisal, 0.25) AS c1,
+       |         quantile_cont(avg_surprisal, 0.75) AS c2
+       |  FROM s),
+       |b AS (
+       |  SELECT s.*, CASE WHEN avg_surprisal <= c1 THEN 'head'
+       |                   WHEN avg_surprisal <= c2 THEN 'middle'
+       |                   ELSE 'tail' END AS bucket
+       |  FROM s CROSS JOIN cuts)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  CAST(MIN(avg_surprisal) AS BIGINT) AS min_surprisal,
+       |  CAST(MAX(avg_surprisal) AS BIGINT) AS max_surprisal,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Lookahead-free patterns shared verbatim by Java regex and RE2. */
   private val EmailRe = """[a-z0-9#._%-]+@[a-z0-9.-]+\\.[a-z]{2,}"""
   private val PhoneRe = """\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"""
@@ -476,5 +542,71 @@ object TextOps {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
       |  CAST(SUM(bf) AS BIGINT) AS n_boiler,
       |  CAST(SUM(CASE WHEN bf = 0 THEN ctoks ELSE 0 END) AS BIGINT) AS tokens_kept
+      |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** t25_boilerplate_strip — t18's destructive sibling: instead of
+    * REPORTING boilerplate chunks it REMOVES them and reassembles each
+    * document in original chunk order — the rewritten corpus a training
+    * run actually consumes (t14_pii_redact's report-vs-rewrite split,
+    * replayed for boilerplate). Same corpus-level contract as t18:
+    * fixed 4-token chunks, a chunk in ≥3 distinct docs is boilerplate.
+    * Emits the cleaned text plus removed-chunk/token counts per doc.
+    *
+    * Shape: t18's linear pipeline (chunk-frequency aggregate + one
+    * join-back, no pairwise comparison), plus one per-doc reassembly
+    * aggregate — collect_list buffers one document's own chunks, the
+    * same order of memory as the input row itself, and array_sort on
+    * the (k, …) structs restores chunk order without a sort exchange.
+    * [oracle]
+    */
+  def t25_boilerplate_strip(spark: SparkSession, dir: String): DataFrame = {
+    val cs = 4
+    val minDocs = 3
+    val chunks = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), expr(s"(size(t) - 1) div $cs"))).as("k"))
+      .select(col("doc_id"), col("k"),
+        concat_ws(" ", slice(col("t"), col("k") * cs + 1, lit(cs))).as("chunk"),
+        size(slice(col("t"), col("k") * cs + 1, lit(cs))).cast("long").as("ctoks"))
+    val boiler = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("chunk"), lit(1L).as("bf"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(
+        expr("""array_join(
+          transform(
+            filter(array_sort(collect_list(struct(k, coalesce(bf, 0L) AS bf, chunk))),
+              s -> s.bf = 0),
+            s -> s.chunk), ' ')""").as("clean_text"),
+        sum(when(col("bf").isNotNull, lit(1L)).otherwise(0L)).as("removed_chunks"),
+        sum(when(col("bf").isNotNull, col("ctoks")).otherwise(0L)).as("removed_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of t25: ordered string_agg FILTER reassembly (empty
+    * string when every chunk was boilerplate, matching Spark's
+    * array_join over an empty array).
+    */
+  val t25_oracle: String =
+    """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      |ch AS (
+      |  SELECT doc_id, k,
+      |    array_to_string(t[k*4+1 : k*4+4], ' ') AS chunk,
+      |    len(t[k*4+1 : k*4+4]) AS ctoks
+      |  FROM tok, LATERAL (SELECT unnest(range(0, (len(t) + 3) // 4)) AS k)),
+      |b AS (
+      |  SELECT chunk FROM ch GROUP BY chunk
+      |  HAVING COUNT(DISTINCT doc_id) >= 3),
+      |fl AS (
+      |  SELECT ch.doc_id, ch.k, ch.chunk, ch.ctoks,
+      |    CASE WHEN b.chunk IS NULL THEN 0 ELSE 1 END AS bf
+      |  FROM ch LEFT JOIN b ON b.chunk = ch.chunk)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(chunk, ' ' ORDER BY k) FILTER (WHERE bf = 0), '') AS clean_text,
+      |  CAST(SUM(bf) AS BIGINT) AS removed_chunks,
+      |  CAST(SUM(CASE WHEN bf = 1 THEN ctoks ELSE 0 END) AS BIGINT) AS removed_tokens
       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -134,4 +134,86 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m.map(_.toSeq).toSet == m2.map(_.toSeq).toSet,
       "shard assignment and checksums must not depend on partitioning")
   }
+
+  test("s10: int8 codes keep recall vs the exact baseline; reruns identical") {
+    val sq = Similarity.s10_ann_sq(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = Similarity.s1_ann_topk(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(exact.nonEmpty)
+    // 64 dims × int8 is a fine quantization of unit vectors — the
+    // shortlist+rerank must recover nearly all exact neighbors
+    val recall = (sq & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ recall@5 degraded: $recall")
+    val again = Similarity.s10_ann_sq(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(sq == again, "SQ path must be fully deterministic")
+  }
+
+  test("t25: boilerplate chunks are removed, unique text survives verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_t25_").toString
+    // 4-token boilerplate chunk shared by 3 docs (chunk-aligned at the
+    // start); doc 3 is pure unique text; doc 4 is ONLY boilerplate
+    val boiler = "all rights reserved worldwide"
+    spark.createDataFrame(Seq(
+        (0L, s"$boiler alpha beta gamma delta"),
+        (1L, s"$boiler epsilon zeta eta theta"),
+        (2L, s"$boiler iota kappa lambda mu"),
+        (3L, "nu xi omicron pi"),
+        (4L, boiler)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextOps.t25_boilerplate_strip(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("removed_chunks"),
+          r.getAs[Long]("removed_tokens"))).toMap
+    assert(out(0L) == (("alpha beta gamma delta", 1L, 4L)), s"${out(0L)}")
+    assert(out(3L) == (("nu xi omicron pi", 0L, 0L)), s"${out(3L)}")
+    assert(out(4L) == (("", 1L, 4L)),
+      s"all-boilerplate doc must strip to empty, not vanish: ${out(4L)}")
+  }
+
+  test("p2: plan achieves the uniform target within doc-granularity noise") {
+    val rows = PipelineOps.p2_mix_apply(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val target = rows.head.getAs[Long]("target_pm")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rate_pm") >= 0 && r.getAs[Long]("rate_pm") <= 1000)
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // the sha-ticket sample is only doc-granular, but the achieved
+    // permille must track the target — a broken plan (rate 0 or 1000
+    // everywhere) lands far off
+    val maxDev = rows.map(r =>
+      math.abs(r.getAs[Long]("achieved_pm") - target)).max
+    assert(maxDev <= 100, s"achieved mix drifted from target $target: " +
+      rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("achieved_pm"))).toSeq.toString)
+    // deterministic across runs
+    val again = PipelineOps.p2_mix_apply(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("t24: buckets partition the scored corpus and order by surprisal") {
+    val b = graft.ops.TextOps.t24_ccnet_buckets(spark, sfDir).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("min_surprisal"),
+          r.getAs[Long]("max_surprisal"))).toMap
+    assert(b.keySet.subsetOf(Set("head", "middle", "tail")) && b.contains("head"),
+      s"buckets: ${b.keySet}")
+    val scoredDocs = graft.ops.TextOps.t16_lm_surprisal(spark, sfDir).count()
+    assert(b.values.map(_._1).sum == scoredDocs,
+      "every scored doc must land in exactly one bucket")
+    // quartile cuts: head ≤ 25%-cut < middle ≤ 75%-cut < tail (a bucket
+    // can be empty only under extreme value ties — then skip its pair)
+    for {
+      (lo, hi) <- Seq("head" -> "middle", "middle" -> "tail")
+      l <- b.get(lo); h <- b.get(hi)
+    } assert(l._3 <= h._2, s"$lo/$hi overlap: $b")
+  }
 }

@@ -44,7 +44,11 @@ class EmptyInputSpec extends SparkSpec {
       // patterns, incremental aggregate, audio stats, hybrid retrieval
       "q69_cdc", "q70_format_roundtrip", "q71_seq_pattern",
       "q72_incr_agg", "m5_audio_features", "s7_hybrid_search",
-      "a9_state_modified")
+      "a9_state_modified",
+      // round-8 continuation: SQ ANN, mix apply, CCNet buckets,
+      // boilerplate strip, trade-graph components
+      "s10_ann_sq", "p2_mix_apply", "t24_ccnet_buckets",
+      "t25_boilerplate_strip", "g4_components")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()

@@ -399,4 +399,44 @@ class PlanSpec extends SparkSpec {
     assert(nodeCount(plan, "Exchange") <= 2, // agg shuffle + output sort
       s"only the 32-key agg and the output sort may exchange:\n$plan")
   }
+
+  test("s10: query codes broadcast; both cuts use the bounded heap; windows stay bounded") {
+    val df = graft.ops.Similarity.s10_ann_sq(spark, sfDir)
+    val plan = formatted(df)
+    // the 10-query code/vector sides arrive broadcast — the corpus-side
+    // code scan joins them without a corpus-wide exchange
+    assert(nodeCount(plan, "BroadcastExchange") >= 2,
+      s"query codes and query vectors must broadcast:\n$plan")
+    val exec = df.queryExecution.executedPlan.toString
+    // shortlist cut + final top-5: each is a partial+final heap pair
+    assert("TopKPerGroup".r.findAllIn(exec).size >= 4,
+      s"shortlist and final cut must both use the heap operator:\n$exec")
+  }
+
+  test("p2: the corpus parquet is scanned once — stats and sample reuse the persisted frame") {
+    val df = graft.ops.PipelineOps.p2_mix_apply(spark, sfDir)
+    val plan = formatted(df)
+    // the compact (doc_id, source, toks, ticket) frame is persisted and
+    // feeds both the stats pass and the sample pass; the n_sources-row
+    // plan arrives broadcast at the sample filter
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"documents must be read once into the persisted frame:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"both passes must reuse the persisted compact frame:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the rate plan must broadcast onto the sample pass:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("t25: strip keeps t18's linear shape — no pairwise doc comparison") {
+    val plan = formatted(graft.ops.TextOps.t25_boilerplate_strip(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+    // the >= minDocs frequency filter shrinks the boilerplate set
+    // BEFORE the join back (t18's discipline)
+    assert(plan.contains("ndocs"), "frequency filter must exist in the plan")
+    // reassembly is ONE per-doc aggregate, partial+final or single-stage
+    // — never a window/sort over the corpus-wide chunk stream
+    assert(nodeCount(plan, "Window") == 0,
+      s"reassembly must be an aggregate, not a window:\n$plan")
+  }
 }

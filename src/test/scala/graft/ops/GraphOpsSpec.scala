@@ -52,6 +52,31 @@ class GraphOpsSpec extends SparkSpec {
         s"edge $s->$d still relaxes: ${dist(s)} + 1 < ${dist(d)}")
   }
 
+  test("g4: labels are a fixpoint over the symmetric heavy-lane edges") {
+    val lab = GraphOps.g4_components(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(lab.nonEmpty)
+    // component label = the min nation id of the component => every
+    // label labels itself
+    lab.values.foreach { case (c, _) => assert(lab(c)._1 == c,
+      s"component label $c is not its own label: ${lab(c)}") }
+    // sizes account every node exactly once
+    assert(lab.values.groupBy(_._1).forall { case (c, ms) =>
+      ms.head._2 == ms.size }, s"component sizes wrong: $lab")
+    assert(lab.values.map(_._1).toSet.size ==
+      lab.values.map(_._1).toSeq.distinct.size)
+    // 24 rounds converged: both endpoints of every heavy edge agree
+    val t = Tables(spark, sfDir)
+    val ew = GraphOps.tradeEdges(t)
+    val thr = ew.agg(expr("percentile(w, 0.75)")).first().getDouble(0)
+    ew.filter(col("w") >= thr).filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct().collect()
+      .foreach { r =>
+        assert(lab(r.getLong(0))._1 == lab(r.getLong(1))._1,
+          s"edge ${r.getLong(0)}-${r.getLong(1)} spans two components")
+      }
+  }
+
   test("tradeEdges out-weights cover every customer nation that ordered") {
     val t = Tables(spark, sfDir)
     val edges = GraphOps.tradeEdges(t)
