@@ -730,4 +730,152 @@ object PipelineOps {
       |  COALESCE(k.kept_tokens, 0) * 1000 // (SELECT CAST(SUM(kept_tokens) AS BIGINT) FROM kept) AS achieved_pm
       |FROM rates r LEFT JOIN kept k ON k.source = r.source
       |ORDER BY r.source""".stripMargin
+
+  /** t26_wordpiece — greedy longest-match subword tokenization (the
+    * WordPiece/BPE APPLICATION pass every LLM pipeline runs to turn
+    * word counts into real token counts). The vocabulary is derived
+    * from the corpus itself, deterministically in both engines:
+    *
+    *   - every single character (the coverage guarantee — greedy match
+    *     can always advance, no [UNK] dead-ends);
+    *   - 2–4-char substrings with frequency-weighted occurrence count
+    *     ≥ max(20, corpus_tokens/250) (d4's corpus-scaled cap);
+    *   - whole words of length ≥ 5 above the same count.
+    *
+    * Segmentation is greedy longest-match: at each position try the
+    * whole remaining word (position 1 only), then lengths 4..1.
+    *
+    * The 100 TB shape is the real production trick: tokenization is a
+    * pure function of the WORD, so everything runs on the DISTINCT-WORD
+    * table (orders of magnitude smaller than the corpus) and results
+    * join back by word — here the word counts are carried through
+    * directly. The greedy walk itself is ONE narrow higher-order
+    * `aggregate` over a per-word position→best-piece map (built by one
+    * small groupBy) — 24 bounded steps, no iterative joins, no UDF.
+    * Both engines execute the identical bounded recurrence (DuckDB: a
+    * 24-step recursive CTE over the same best-piece table), so the
+    * segmentation is hash-exact. [oracle]
+    */
+  def t26_wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables(spark, dir).documents
+      .select(explode(expr(TextOps.TOKENS)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+      .persistTracked
+    val totK = words.agg(
+      expr("greatest(20L, coalesce(sum(wcount), 0L) DIV 250L)").as("k"))
+
+    val chars = words
+      .select(col("word"), explode(expr("sequence(1, length(word))")).as("i"))
+      .select(expr("substr(word, i, 1)").as("piece")).distinct()
+    val subs = words
+      .select(col("word"), col("wcount"),
+        explode(expr("sequence(1, length(word))")).as("i"))
+      .select(col("word"), col("wcount"), col("i"),
+        explode(expr("array(2, 3, 4)")).as("l"))
+      .filter(expr("i + l - 1 <= length(word)"))
+      .select(expr("substr(word, i, l)").as("piece"), col("wcount"))
+      .groupBy("piece").agg(sum("wcount").cast("long").as("c"))
+      .crossJoin(broadcast(totK)).filter(col("c") >= col("k"))
+      .select("piece")
+    val wholes = words.crossJoin(broadcast(totK))
+      .filter(expr("length(word) >= 5 AND wcount >= k"))
+      .select(col("word").as("piece"))
+    val vocab = chars.union(subs).union(wholes).distinct().persistTracked
+
+    // best (longest vocab-matching) piece per (word, position): whole
+    // remaining word competes only at position 1, then lengths 4..1;
+    // the single-char rows guarantee a match at EVERY position
+    val cand = words
+      .select(col("word"), explode(expr("sequence(1, length(word))")).as("pos"))
+      .select(col("word"), col("pos"), explode(expr(
+        "CASE WHEN pos = 1 THEN array(length(word), 4, 3, 2, 1) " +
+          "ELSE array(4, 3, 2, 1) END")).as("l"))
+      .filter(expr("pos + l - 1 <= length(word)"))
+      .select(col("word"), col("pos"), col("l"),
+        expr("substr(word, pos, l)").as("piece"))
+    val best = cand.join(vocab, Seq("piece"))
+      .groupBy("word", "pos").agg(max("l").as("l"))
+      .withColumn("p", expr("substr(word, pos, l)"))
+
+    // per-word position→(len, piece) map, then the greedy walk as one
+    // bounded fold — 24 steps covers any ≤24-char word; longer words
+    // get the identical bounded-prefix treatment in both engines
+    val maps = best.groupBy("word")
+      .agg(map_from_entries(collect_list(
+        struct(col("pos"), struct(col("l"), col("p"))))).as("m"))
+    words.join(maps, Seq("word"))
+      .withColumn("st", expr(
+        """aggregate(sequence(1, 24),
+          |  named_struct('pos', 1, 'pieces', '', 'n', CAST(0 AS BIGINT)),
+          |  (acc, step) -> IF(acc.pos > length(word), acc,
+          |    named_struct(
+          |      'pos', acc.pos + element_at(m, acc.pos).l,
+          |      'pieces', IF(acc.n = 0, element_at(m, acc.pos).p,
+          |                   concat(acc.pieces, '|', element_at(m, acc.pos).p)),
+          |      'n', acc.n + 1)))""".stripMargin))
+      .select(col("word"), col("wcount"),
+        col("st.n").as("n_pieces"), col("st.pieces").as("pieces"))
+      .orderBy("word")
+  }
+
+  /** DuckDB mirror of t26: identical vocabulary derivation and
+    * best-piece table; the greedy walk is the same 24-step bounded
+    * recurrence as a recursive CTE.
+    */
+  val t26_oracle: String =
+    """WITH RECURSIVE
+      |w AS MATERIALIZED (
+      |  SELECT tok AS word, COUNT(*) AS wcount FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |    FROM documents)
+      |  GROUP BY tok),
+      |kk AS (SELECT GREATEST(20, CAST(COALESCE(SUM(wcount), 0) AS BIGINT) // 250) AS k FROM w),
+      |chars AS (
+      |  SELECT DISTINCT substr(word, i, 1) AS piece
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i)),
+      |subs AS (
+      |  SELECT substr(word, i, l) AS piece, CAST(SUM(wcount) AS BIGINT) AS c
+      |  FROM w,
+      |    LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i),
+      |    LATERAL (SELECT unnest([2, 3, 4]) AS l)
+      |  WHERE i + l - 1 <= len(word)
+      |  GROUP BY piece),
+      |vocab AS MATERIALIZED (
+      |  SELECT DISTINCT piece FROM (
+      |    SELECT piece FROM chars
+      |    UNION ALL
+      |    SELECT piece FROM subs WHERE c >= (SELECT k FROM kk)
+      |    UNION ALL
+      |    SELECT word FROM w WHERE len(word) >= 5 AND wcount >= (SELECT k FROM kk))),
+      |cand AS (
+      |  SELECT word, pos, l, substr(word, pos, l) AS piece FROM (
+      |    SELECT w.word, i AS pos, u.l
+      |    FROM w,
+      |      LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i),
+      |      LATERAL (SELECT unnest(CASE WHEN i = 1
+      |        THEN [len(word), 4, 3, 2, 1] ELSE [4, 3, 2, 1] END) AS l) u)
+      |  WHERE pos + l - 1 <= len(word)),
+      |bestp AS MATERIALIZED (
+      |  SELECT word, pos, MAX(l) AS l,
+      |    substr(word, pos, MAX(l)) AS p
+      |  FROM cand JOIN vocab USING (piece)
+      |  GROUP BY word, pos),
+      |seg AS (
+      |  SELECT 0 AS iter, word, CAST(1 AS INTEGER) AS pos,
+      |    '' AS pieces, CAST(0 AS BIGINT) AS n
+      |  FROM w
+      |  UNION ALL
+      |  SELECT s.iter + 1, s.word,
+      |    CASE WHEN s.pos > len(s.word) THEN s.pos
+      |         ELSE s.pos + CAST(b.l AS INTEGER) END,
+      |    CASE WHEN s.pos > len(s.word) THEN s.pieces
+      |         WHEN s.n = 0 THEN b.p
+      |         ELSE s.pieces || '|' || b.p END,
+      |    CASE WHEN s.pos > len(s.word) THEN s.n ELSE s.n + 1 END
+      |  FROM seg s LEFT JOIN bestp b ON b.word = s.word AND b.pos = s.pos
+      |  WHERE s.iter < 24)
+      |SELECT s.word, w.wcount, s.n AS n_pieces, s.pieces
+      |FROM seg s JOIN w USING (word)
+      |WHERE s.iter = 24
+      |ORDER BY s.word""".stripMargin
 }

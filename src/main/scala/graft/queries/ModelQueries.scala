@@ -456,4 +456,52 @@ object ModelQueries {
       |    ((SELECT COUNT(*) FROM orders WHERE o_totalprice < 300000) >=
       |     0.7 * (SELECT COUNT(*) FROM orders)) AS passed
       |) ORDER BY test""".stripMargin
+
+  /** a10_freshness — dbt-style SOURCE FRESHNESS: per source stream
+    * (event_type here), the latest loaded timestamp and its age, graded
+    * against warn/error thresholds (24 h / 72 h). Ages are measured
+    * against the newest event ANYWHERE in the table rather than
+    * wall-clock now() — the deterministic formulation (reproducible
+    * across runs and engines; a production deployment swaps the
+    * reference instant for now() at call time). Event-time arithmetic
+    * goes through the NTZ-proof `cast("timestamp")` seam (q34's
+    * pattern), so tz'd and tz-less writers both work.
+    *
+    * Shape: one scan → per-type max/count aggregate; the global
+    * reference is a 1-row broadcast. [oracle]
+    */
+  def a10_freshness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val per = graft.Tables(spark, dir).events
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .groupBy("event_type")
+      .agg(max("us").as("max_us"), count(lit(1)).as("n_events"))
+    per.crossJoin(broadcast(per.agg(max("max_us").as("glob_us"))))
+      .withColumn("age_hours", expr("(glob_us - max_us) DIV 3600000000L"))
+      .withColumn("status",
+        when(col("age_hours") < 24, lit("fresh"))
+          .when(col("age_hours") < 72, lit("warn"))
+          .otherwise(lit("error")))
+      .select("event_type", "n_events", "max_us", "age_hours", "status")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of a10 (ns-precision parquet timestamps truncate to
+    * µs through CAST AS TIMESTAMP in both engines).
+    */
+  val a10_oracle: String =
+    """WITH per AS (
+      |  SELECT event_type,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY event_type),
+      |g AS (SELECT MAX(max_us) AS glob_us FROM per)
+      |SELECT event_type, n_events, max_us,
+      |  (glob_us - max_us) // 3600000000 AS age_hours,
+      |  CASE WHEN (glob_us - max_us) // 3600000000 < 24 THEN 'fresh'
+      |       WHEN (glob_us - max_us) // 3600000000 < 72 THEN 'warn'
+      |       ELSE 'error' END AS status
+      |FROM per CROSS JOIN g
+      |ORDER BY event_type""".stripMargin
 }

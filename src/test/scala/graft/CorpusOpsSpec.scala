@@ -199,6 +199,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("t26: pieces reassemble every word exactly; rare words split, frequent stay whole") {
+    val seg = PipelineOps.t26_wordpiece(spark, sfDir).collect()
+    assert(seg.nonEmpty)
+    // the defining invariant: greedy pieces concatenate back to the word
+    seg.foreach { r =>
+      assert(r.getAs[String]("pieces").replace("|", "") == r.getAs[String]("word"),
+        s"pieces must cover the word exactly: $r")
+      assert(r.getAs[Long]("n_pieces") >= 1)
+    }
+    // constructed: a word rarer than the corpus-scaled cap must split
+    // into sub-word pieces built from the frequent words' substrings
+    val dir = java.nio.file.Files.createTempDirectory("graft_t26_").toString
+    val common = (0L until 60L).map(i => (i, "alpha beta alpha beta alpha"))
+    val rare = Seq((100L, "alphabeta zzz"))
+    spark.createDataFrame(common ++ rare).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineOps.t26_wordpiece(spark, dir).collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("n_pieces"), r.getAs[String]("pieces"))).toMap
+    assert(out("alpha")._1 == 1L, s"frequent word stays whole: ${out("alpha")}")
+    // 'alphabeta' (count 1) is not in vocab; greedy consumes 4-char
+    // substrings of the frequent words ('alph','a','beta' etc.)
+    assert(out("alphabeta")._1 > 1L,
+      s"rare compound must split into sub-pieces: ${out("alphabeta")}")
+    assert(out("alphabeta")._2.replace("|", "") == "alphabeta")
+    // 'zzz' has no frequent substrings: single-char coverage fallback
+    assert(out("zzz") == ((3L, "z|z|z")), s"${out("zzz")}")
+  }
+
   test("t24: buckets partition the scored corpus and order by surprisal") {
     val b = graft.ops.TextOps.t24_ccnet_buckets(spark, sfDir).collect()
       .map(r => r.getAs[String]("bucket") ->

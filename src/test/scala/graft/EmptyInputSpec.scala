@@ -48,7 +48,8 @@ class EmptyInputSpec extends SparkSpec {
       // round-8 continuation: SQ ANN, mix apply, CCNet buckets,
       // boilerplate strip, trade-graph components
       "s10_ann_sq", "p2_mix_apply", "t24_ccnet_buckets",
-      "t25_boilerplate_strip", "g4_components")
+      "t25_boilerplate_strip", "g4_components", "t26_wordpiece",
+      "a10_freshness")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()
