@@ -562,4 +562,76 @@ object Multimodal {
       |  CAST(SUM(copies - 1) AS BIGINT) AS n_dup_assets,
       |  CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_reclaimable
       |FROM groups GROUP BY modality ORDER BY modality""".stripMargin
+
+  /** 64-bit average hash (aHash) of a decoded image — the classic
+    * perceptual fingerprint: bilinear-scale to 8×8, integer luma per
+    * cell (Rec.601 weights in integer permille), bit i set iff
+    * luma_i > mean. Re-encodes, minor noise, and small edits move only
+    * a few bits; distinct images differ in ~32.
+    */
+  private[ops] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val dst = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val luma = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = dst.getRGB(i % 8, i / 8)
+      luma(i) = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+        (rgb & 0xff) * 114L) / 1000L
+      sum += luma(i)
+      i += 1
+    }
+    val mean = sum / 64
+    var acc = 0L
+    i = 0
+    while (i < 64) {
+      if (luma(i) > mean) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Perceptual near-duplicate image pairs (the media-lake sibling of
+    * d3's SimHash text dedup): every decodable image's aHash is
+    * computed in the partition-wise batcher (decoder state per
+    * partition, payloads never shuffled — only the 8-byte hash leaves
+    * the scan), then d3's hamming-band discipline finds candidates —
+    * 4×16-bit bands bucket-join (near hashes share a band with high
+    * probability; identical re-encodes always do), exact
+    * `bit_count(xor) ≤ maxHamming` verify. Linear in the lake size,
+    * never all-pairs. Spec-green family (the aHash of a real decoded
+    * pixel grid has no closed form an independent SQL oracle could
+    * recompute — m6 covers the exact-payload case with a full oracle).
+    */
+  def imagePhashPairs(media: Dataset[MediaRow], maxHamming: Int = 10): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.filter(_.modality == "image").mapPartitions { rows =>
+      // [decoder init once per partition]
+      rows.flatMap { r =>
+        scala.util.Try(Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload)))).toOption.flatten
+          .map(img => (r.doc_id, aHash64(img)))
+      }
+    }.toDF("doc_id", "ahash")
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("(ahash >> (band * 16)) & 65535"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -485,4 +485,41 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.wavStats("RIFFxxxxWAVEnotreally".getBytes("UTF-8"))
     }
   }
+
+  test("m7 aHash: perceptual pairs catch a lightly-edited copy, not a distinct image") {
+    import spark.implicits._
+    // structured 32x32 gradient so the 8x8 luma grid has real contrast
+    def pattern(edit: Boolean, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = if (invert) 255 - (x * 8) % 256 else (x * 8) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      // the "edit": stamp a small bright patch over one corner
+      if (edit) for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", pattern(edit = false, invert = false), 32, 32, 0),
+      MediaRow(2L, "image", pattern(edit = true, invert = false), 32, 32, 0),
+      MediaRow(3L, "image", pattern(edit = false, invert = true), 32, 32, 0),
+      MediaRow(4L, "audio", "not an image".getBytes("UTF-8"), 0, 0, 16000))
+    val pairs = Multimodal.imagePhashPairs(spark.createDataset(rows))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"lightly-edited copy must pair with its original: $pairs")
+    assert(pairs((1L, 2L)) <= 10)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"the inverted gradient must NOT pair: $pairs")
+    // identical payloads hash identically (hamming 0) through a re-read
+    val dup = Multimodal.imagePhashPairs(spark.createDataset(Seq(
+      MediaRow(7L, "image", pattern(edit = false, invert = false), 32, 32, 0),
+      MediaRow(9L, "image", pattern(edit = false, invert = false), 32, 32, 0))))
+      .collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("hamming") == 0L)
+  }
 }
