@@ -428,6 +428,23 @@ class PlanSpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("t26: tokenization runs on the distinct-word table — the corpus is scanned once") {
+    val df = graft.ops.PipelineOps.t26_wordpiece(spark, sfDir)
+    val plan = formatted(df)
+    // the corpus parquet feeds ONE word-count aggregate into the
+    // persisted distinct-word frame; vocabulary, best-piece table, and
+    // the greedy walk all derive from that frame
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"documents must be scanned once for the word counts:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"vocab/best/segmentation must reuse the persisted word table:\n$plan")
+    // the greedy walk is a projection (higher-order aggregate), never a
+    // per-step join cascade: no more joins than vocab-probe + map-join
+    assert(nodeCount(plan, "Window") == 0,
+      s"segmentation must not rank anything:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("t25: strip keeps t18's linear shape — no pairwise doc comparison") {
     val plan = formatted(graft.ops.TextOps.t25_boilerplate_strip(spark, sfDir))
     assert(!plan.contains("CartesianProduct"))
