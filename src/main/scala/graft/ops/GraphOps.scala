@@ -2,12 +2,15 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Graph analytics over relational data: iterative algorithms expressed
-  * as DataFrame loops (join → aggregate → checkpoint per round), the
-  * same shape as d6's connected components.
+/** Graph analytics over relational data. The heavy step — contracting
+  * the fact tables to a (src, dst, w) nation graph — is distributed;
+  * the bounded integer recurrences (PageRank, Bellman-Ford, min-label)
+  * then run driver-side on the collected ≤625-edge contracted graph,
+  * O(model-state) driver data with zero per-round job scheduling. For
+  * graphs too large to contract, d6's distributed star labeler is the
+  * 100 TB shape (join → aggregate → checkpoint per round).
   *
   * PageRank here is INTEGER-ARITHMETIC: ranks are micro-units (1e6 =
   * 1.0), per-edge contributions use floor division, and damping is
@@ -34,36 +37,50 @@ object GraphOps {
         col("s_nationkey").cast("long").as("dst")), Seq("l_suppkey"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
 
+  /** Collect the contracted (src, dst, w) trade graph to the driver.
+    * Bounded by |nation|² = 625 rows at ANY scale factor — the same
+    * O(model-state) driver-materialization class as IVF centroids or
+    * the g2 percentile literal. The heavy work (two fact joins + the
+    * groupBy) stays fully distributed; only the contraction's OUTPUT
+    * crosses to the driver.
+    */
+  private def collectEdges(ed: DataFrame): Array[(Long, Long, Long)] =
+    ed.select(col("src"), col("dst"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  private def collectNations(t: Tables): Array[Long] =
+    t.nation.select(col("n_nationkey").cast("long")).collect()
+      .map(_.getLong(0)).sorted
+
   /** g1_pagerank — 10 rounds of damped weighted PageRank on the trade
-    * graph. Each round is one join + one aggregate on the (src, dst, w)
-    * edge table; `localCheckpoint` cuts the growing lineage (d6's rule
-    * for iterative frames — on a production cluster prefer
-    * `checkpoint(dir)` for executor-loss tolerance). Dangling-node mass
-    * is dropped and absentee nodes keep the base term — both engines
-    * apply the identical integer formula, so ranks hash-match. [oracle:
-    * DuckDB recursive CTE, same integer recurrence]
+    * graph. The heavy part — the contracted-edge aggregation (two fact
+    * joins + groupBy) — runs distributed; the 10-round integer
+    * recurrence then runs DRIVER-SIDE on the collected ≤625-edge
+    * contracted graph (O(model-state), see collectEdges) instead of
+    * scheduling 10 near-empty join+agg Spark rounds: identical integer
+    * arithmetic, identical hashes, ~10 fewer scheduled jobs. (For a
+    * graph too large to contract, d6's distributed star labeler is the
+    * shape — this family is the contracted-graph fast path.)
+    * Dangling-node mass is dropped and absentee nodes keep the base
+    * term — both engines apply the identical integer formula, so ranks
+    * hash-match. [oracle: DuckDB recursive CTE, same integer recurrence]
     */
   def g1_pagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val t = Tables(spark, dir)
-    val ew = tradeEdges(t)
-      .withColumn("wsum", sum(col("w")).over(Window.partitionBy("src")))
-      .localCheckpoint(true) // contracted graph: tiny, reused every round
-    val nodes = t.nation.select(col("n_nationkey").cast("long").as("nation"))
-      .localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(1000000L))
-    for (i <- 0 until 10) {
-      val totals = ew.join(ranks, col("src") === col("nation"))
-        .select(col("dst"), expr("(r * w) div wsum").as("term"))
-        .groupBy("dst").agg(sum(col("term")).as("total"))
-      ranks = nodes
-        .join(totals.withColumnRenamed("dst", "nation"), Seq("nation"), "left")
-        .select(col("nation"),
-          (lit(150000L) + expr("(85 * coalesce(total, 0L)) div 100")).as("r"))
-      // checkpoint every 3rd round: plan depth stays bounded without
-      // paying a materialization job per iteration
-      if (i % 3 == 2 || i == 9) ranks = ranks.localCheckpoint(true)
+    val edges = collectEdges(tradeEdges(t))
+    val wsum: Map[Long, Long] =
+      edges.groupBy(_._1).map { case (s, es) => (s, es.map(_._3).sum) }
+    val nations = collectNations(t)
+    var r: Map[Long, Long] = nations.map(n => (n, 1000000L)).toMap
+    for (_ <- 0 until 10) {
+      val totals: Map[Long, Long] = edges
+        .map { case (s, d, w) => (d, r(s) * w / wsum(s)) }
+        .groupBy(_._1).map { case (d, ts) => (d, ts.map(_._2).sum) }
+      r = nations.map(n => (n, 150000L + 85L * totals.getOrElse(n, 0L) / 100L)).toMap
     }
-    ranks.select(col("nation"), col("r").as("pagerank")).orderBy("nation")
+    nations.map(n => (n, r(n))).toSeq.toDF("nation", "pagerank")
+      .orderBy("nation")
   }
 
   /** g2_triangles — per-node triangle counts on the (undirected) trade
@@ -149,31 +166,35 @@ object GraphOps {
     * identical across partitionings, retries, and engines — rather than
     * a convergence race; 8 rounds cover any diameter the 25-node
     * contracted graph can have. Shape: the heavy work is the one
-    * contracted-edge aggregation (checkpointed, reused all rounds);
-    * each round is a join + min-aggregate on the contracted graph, the
-    * frontier never touches fact tables. [oracle: DuckDB recursive CTE,
-    * same recurrence]
+    * contracted-edge aggregation (distributed, checkpointed); the
+    * bounded recurrence itself runs driver-side on the collected
+    * contracted graph (g1's fast path — O(model-state) driver data,
+    * no per-round job scheduling), the frontier never touches fact
+    * tables. [oracle: DuckDB recursive CTE, same recurrence]
     */
   def g3_shortest_path(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val t = Tables(spark, dir)
     val ew = tradeEdges(t).localCheckpoint(true)
     val thr = ew.agg(expr("percentile(w, 0.75)").as("thr")).first().getDouble(0)
-    val ed = ew.filter(col("w") >= thr).filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct().localCheckpoint(true)
-    val nodes = t.nation.select(col("n_nationkey").cast("long").as("nation"))
-      .localCheckpoint(true)
-    var dist = nodes.withColumn("dist",
-      when(col("nation") === 0, lit(0L)).otherwise(lit(999L)))
-    for (i <- 0 until 8) {
-      val cand = ed.join(dist, col("src") === col("nation"))
-        .select(col("dst"), (col("dist") + 1).as("c"))
-        .groupBy("dst").agg(min(col("c")).as("cand"))
-      dist = dist.join(cand.withColumnRenamed("dst", "nation"), Seq("nation"), "left")
-        .select(col("nation"),
-          least(col("dist"), coalesce(col("cand"), lit(999L))).as("dist"))
-      if (i % 3 == 2 || i == 7) dist = dist.localCheckpoint(true)
+    // heavy-lane cut runs distributed; the bounded relaxation then runs
+    // driver-side on the collected contracted graph (g1's fast path)
+    val edges = collectEdges(ew.filter(col("w") >= thr)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), lit(1L).as("w")).distinct())
+      .map { case (s, d, _) => (s, d) }
+    val nations = collectNations(t)
+    var dist: Map[Long, Long] =
+      nations.map(n => (n, if (n == 0L) 0L else 999L)).toMap
+    for (_ <- 0 until 8) {
+      val cand: Map[Long, Long] = edges
+        .map { case (s, d) => (d, dist(s) + 1L) }
+        .groupBy(_._1).map { case (d, cs) => (d, cs.map(_._2).min) }
+      dist = nations.map(n =>
+        (n, math.min(dist(n), cand.getOrElse(n, 999L)))).toMap
     }
-    dist.select(col("nation"), col("dist")).orderBy("nation")
+    nations.map(n => (n, dist(n))).toSeq.toDF("nation", "dist")
+      .orderBy("nation")
   }
 
   /** DuckDB mirror of g3: same heavy-lane cut and the same bounded
@@ -220,38 +241,40 @@ object GraphOps {
     * 25-node graph, so the FIXED round count (g1/g3's discipline) is a
     * complete, deterministic integer recurrence — hash-exact against a
     * recursive CTE, unlike a convergence loop. Shape: the heavy work is
-    * the one contracted-edge aggregation; every round is a join + min
-    * aggregate on the ≤ 25-node contracted graph. (Corpus-scale
+    * the one contracted-edge aggregation (distributed); the recurrence
+    * runs driver-side on the collected ≤25-node graph. (Corpus-scale
     * component labeling — millions of nodes, unbounded diameter — is
     * d6's star-contraction labeler; this is the contracted-graph
     * variant where bounded label-prop is both sufficient and exactly
     * mirrorable.) [oracle: recursive CTE]
     */
   def g4_components(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val t = Tables(spark, dir)
     val ew = tradeEdges(t).localCheckpoint(true)
     val thrRow = ew.agg(expr("percentile(w, 0.75)").as("thr")).first()
     val thr = if (thrRow.isNullAt(0)) Double.MaxValue else thrRow.getDouble(0)
-    val eh = ew.filter(col("w") >= thr).filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    val sym = eh.select(col("src").as("u"), col("dst").as("v"))
-      .union(eh.select(col("dst").as("u"), col("src").as("v")))
-      .distinct().localCheckpoint(true)
-    val nodes = t.nation.select(col("n_nationkey").cast("long").as("nation"))
-      .localCheckpoint(true)
-    var lab = nodes.withColumn("label", col("nation"))
-    for (i <- 0 until 24) {
-      val cand = sym.join(lab, col("u") === col("nation"))
-        .select(col("v"), col("label"))
-        .groupBy("v").agg(min(col("label")).as("cand"))
-      lab = lab.join(cand.withColumnRenamed("v", "nation"), Seq("nation"), "left")
-        .select(col("nation"),
-          least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
-      if (i % 4 == 3 || i == 23) lab = lab.localCheckpoint(true)
+    // heavy-lane cut runs distributed; the 24-round min-label
+    // recurrence then runs driver-side on the collected contracted
+    // graph (g1's fast path — was 24 scheduled join+agg rounds)
+    val eh = collectEdges(ew.filter(col("w") >= thr)
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), lit(1L).as("w")).distinct())
+      .map { case (s, d, _) => (s, d) }
+    val sym = (eh ++ eh.map(_.swap)).distinct
+    val nations = collectNations(t)
+    var lab: Map[Long, Long] = nations.map(n => (n, n)).toMap
+    for (_ <- 0 until 24) {
+      val cand: Map[Long, Long] = sym
+        .map { case (u, v) => (v, lab(u)) }
+        .groupBy(_._1).map { case (v, ls) => (v, ls.map(_._2).min) }
+      lab = nations.map(n =>
+        (n, math.min(lab(n), cand.getOrElse(n, lab(n))))).toMap
     }
-    val sizes = lab.groupBy("label").agg(count(lit(1)).as("component_size"))
-    lab.join(sizes, Seq("label"))
-      .select(col("nation"), col("label").as("component"), col("component_size"))
+    val sizes: Map[Long, Long] =
+      lab.values.groupBy(identity).map { case (l, vs) => (l, vs.size.toLong) }
+    nations.map(n => (n, lab(n), sizes(lab(n)))).toSeq
+      .toDF("nation", "component", "component_size")
       .orderBy("nation")
   }
 

@@ -613,7 +613,9 @@ object Multimodal {
   def imagePhashPairs(media: Dataset[MediaRow], maxHamming: Int = 10): DataFrame = {
     import media.sparkSession.implicits._
     val hashes = media.filter(_.modality == "image").mapPartitions { rows =>
-      // [decoder init once per partition]
+      // hoist decode config once per partition: ImageIO's disk-backed
+      // stream cache is the per-row overhead worth disabling here
+      javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         scala.util.Try(Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload)))).toOption.flatten

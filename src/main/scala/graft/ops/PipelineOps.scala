@@ -751,10 +751,12 @@ object PipelineOps {
     * join back by word — here the word counts are carried through
     * directly. The greedy walk itself is ONE narrow higher-order
     * `aggregate` over a per-word position→best-piece map (built by one
-    * small groupBy) — 24 bounded steps, no iterative joins, no UDF.
-    * Both engines execute the identical bounded recurrence (DuckDB: a
-    * 24-step recursive CTE over the same best-piece table), so the
-    * segmentation is hash-exact. [oracle]
+    * small groupBy) — length(word) bounded steps (exact: every piece
+    * advances ≥1 char, so no word can outrun the bound and pieces
+    * always cover the word), no iterative joins, no UDF. Both engines
+    * execute the identical bounded recurrence (DuckDB: a recursive CTE
+    * with the same per-word len(word) bound over the same best-piece
+    * table), so the segmentation is hash-exact. [oracle]
     */
   def t26_wordpiece(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables(spark, dir).documents
@@ -798,14 +800,15 @@ object PipelineOps {
       .withColumn("p", expr("substr(word, pos, l)"))
 
     // per-word position→(len, piece) map, then the greedy walk as one
-    // bounded fold — 24 steps covers any ≤24-char word; longer words
-    // get the identical bounded-prefix treatment in both engines
+    // bounded fold — length(word) steps is exact (every piece advances
+    // ≥1 char), so NO word can outrun the bound and pieces always cover
+    // the word; the IF keeps finished words inert
     val maps = best.groupBy("word")
       .agg(map_from_entries(collect_list(
         struct(col("pos"), struct(col("l"), col("p"))))).as("m"))
     words.join(maps, Seq("word"))
       .withColumn("st", expr(
-        """aggregate(sequence(1, 24),
+        """aggregate(sequence(1, length(word)),
           |  named_struct('pos', 1, 'pieces', '', 'n', CAST(0 AS BIGINT)),
           |  (acc, step) -> IF(acc.pos > length(word), acc,
           |    named_struct(
@@ -819,8 +822,8 @@ object PipelineOps {
   }
 
   /** DuckDB mirror of t26: identical vocabulary derivation and
-    * best-piece table; the greedy walk is the same 24-step bounded
-    * recurrence as a recursive CTE.
+    * best-piece table; the greedy walk is the same per-word
+    * len(word)-bounded recurrence as a recursive CTE.
     */
   val t26_oracle: String =
     """WITH RECURSIVE
@@ -873,9 +876,9 @@ object PipelineOps {
       |         ELSE s.pieces || '|' || b.p END,
       |    CASE WHEN s.pos > len(s.word) THEN s.n ELSE s.n + 1 END
       |  FROM seg s LEFT JOIN bestp b ON b.word = s.word AND b.pos = s.pos
-      |  WHERE s.iter < 24)
+      |  WHERE s.iter < len(s.word))
       |SELECT s.word, w.wcount, s.n AS n_pieces, s.pieces
       |FROM seg s JOIN w USING (word)
-      |WHERE s.iter = 24
+      |WHERE s.iter = len(s.word)
       |ORDER BY s.word""".stripMargin
 }
