@@ -563,6 +563,119 @@ object Multimodal {
       |  CAST(SUM((copies - 1) * nb) AS BIGINT) AS bytes_reclaimable
       |FROM groups GROUP BY modality ORDER BY modality""".stripMargin
 
+  /** Deterministic 8×8 grayscale PNG for m7's oracle: pixel i of doc
+    * `id` is the closed-form integer value [[m7PixelValue]] computes.
+    * 8×8 source → aHash's 8×8 resample is the IDENTITY (no
+    * interpolation is ever sampled), and grayscale makes the Rec.601
+    * permille luma exactly the pixel value (299+587+114 = 1000), so the
+    * aHash of the DECODED image equals pure integer arithmetic an
+    * independent SQL engine can recompute — the closed form that lets a
+    * real decode→hash path be oracle-checked.
+    */
+  private[ops] def m7SynthPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val v = m7PixelValue(id, i).toInt
+      img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Pixel i (row-major, 0..63) of doc `id`'s synthetic image. Docs come
+    * in GROUPS of 4 (id div 4): the base pattern is sha256(group, i) —
+    * avalanching, so band buckets stay uniform and cross-group pairs
+    * never verify at any corpus size — and variant k = id mod 4 > 0 SWAPS
+    * the two pixel values at positions 2k-2 / 2k-1. A swap preserves the
+    * pixel sum, hence the aHash mean, so variants flip at most the two
+    * swapped bits: every group is a cluster of near-duplicates (hamming
+    * ≤ 4 pairwise) with bands 1–3 identical, while distinct groups
+    * differ in ~32 bits. Pixel 63 is forced to 0 so bit 63 (the sign
+    * bit) is never set and band arithmetic stays portable. All integer,
+    * all in-range for 64-bit: the same closed form evaluates in SQL.
+    */
+  private[ops] def m7PixelValue(id: Long, i: Long): Long = {
+    if (i == 63L) return 0L
+    val grp = id / 4
+    val k = id % 4
+    val j = if (k > 0 && i == 2 * k - 2) 2 * k - 1
+            else if (k > 0 && i == 2 * k - 1) 2 * k - 2
+            else i
+    // sha256 per (group, pixel) — the repo's standard cross-engine hash
+    // seam (60-bit hex prefix → mod). True avalanche matters here:
+    // every arithmetic formula tried (linear/quadratic mod-prime mixes)
+    // left cross-group vector structure (progressions mod 251, square-
+    // symmetry palindromes) that made distinct groups land within
+    // hamming 10 and the pair count superlinear; with sha the output is
+    // exactly 6 pairs per group — linear in the corpus at every SF.
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s"${grp}_${j}".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 251L
+  }
+
+  /** m7_phash_dedup — perceptual image dedup as an ORACLE entry: the
+    * real decode→aHash→band-join path of [[imagePhashPairs]] runs over
+    * deterministic synthetic PNGs whose decoded 8×8 luma grid is
+    * closed-form ([[m7SynthPng]]), so DuckDB recomputes the identical
+    * hashes from the formula and mirrors the band join + hamming
+    * verify — the full perceptual-dedup pipeline, hash-checked without
+    * the oracle ever decoding a pixel. Scale shape: one narrow map per
+    * doc (encode+decode+hash, only the 8-byte hash leaves the task),
+    * then d3's linear band-bucket join. [oracle]
+    */
+  def m7_phash_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false)
+        ids.map(id => MediaRow(id, "image", m7SynthPng(id),
+          8, 8, 0))
+      }
+    imagePhashPairs(media)
+  }
+
+  /** DuckDB mirror of m7: the same (group, variant-swap, pixel) integer
+    * formula → per-doc mean → aHash bits, then imagePhashPairs' exact
+    * band join ((h >> 16b) & 65535 buckets, doc_a < doc_b, DISTINCT,
+    * bit_count(xor) ≤ 10).
+    */
+  val m7_oracle: String =
+    """WITH px AS (
+      |  SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS k, i
+      |  FROM (SELECT doc_id FROM documents),
+      |    LATERAL (SELECT unnest(range(0, 64)) AS i)),
+      |pv AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN i = 63 THEN 0
+      |         ELSE ('0x' || substr(sha256(CAST(grp AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 251 END AS v
+      |  FROM (SELECT doc_id, grp, k, i,
+      |          CASE WHEN k > 0 AND i = 2*k - 2 THEN 2*k - 1
+      |               WHEN k > 0 AND i = 2*k - 1 THEN 2*k - 2
+      |               ELSE i END AS j
+      |        FROM px)),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > m THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM (SELECT doc_id, i, v,
+      |          SUM(v) OVER (PARTITION BY doc_id) // 64 AS m FROM pv)
+      |  GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, ahash, band, (ahash >> (band * 16)) & 65535 AS bkey
+      |  FROM h, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.ahash AS ha, b.ahash AS hb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 10
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** 64-bit average hash (aHash) of a decoded image — the classic
     * perceptual fingerprint: bilinear-scale to 8×8, integer luma per
     * cell (Rec.601 weights in integer permille), bit i set iff

@@ -522,4 +522,40 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(dup.length == 1 && dup.head.getAs[Long]("hamming") == 0L)
   }
+
+  test("m7 oracle closed form: decoded aHash of the synthetic PNG equals the integer formula") {
+    // the whole oracle rests on this identity: PNG encode → ImageIO
+    // decode → 8×8 identity resample → Rec.601 permille luma must
+    // reproduce m7PixelValue bit-for-bit, for base docs AND swap variants
+    def formulaHash(id: Long): Long = {
+      val v = (0L until 64L).map(i => Multimodal.m7PixelValue(id, i))
+      val mean = v.sum / 64
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x > mean) acc | (1L << i) else acc }
+    }
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 7L, 17L, 101L, 4096L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.m7SynthPng(id)))
+      assert(Multimodal.aHash64(img) == formulaHash(id),
+        s"doc $id: decoded aHash != closed form")
+      assert(formulaHash(id) >= 0L, "bit 63 must never be set")
+    }
+    // variants swap two values: the pixel SUM (hence the mean) is
+    // invariant and bands 1–3 never change within a group
+    for (g <- Seq(0L, 5L, 31L); k <- 1L to 3L) {
+      val base = formulaHash(4 * g); val variant = formulaHash(4 * g + k)
+      assert(java.lang.Long.bitCount(base ^ variant) <= 4)
+      for (b <- 1 to 3)
+        assert(((base >> (b * 16)) & 0xffffL) == ((variant >> (b * 16)) & 0xffffL))
+    }
+  }
+
+  test("m7 entry: within-group near-dup pairs surface from the real decode path") {
+    val pairs = Multimodal.m7_phash_dedup(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    val within = pairs.filter(r =>
+      r.getAs[Long]("doc_a") / 4 == r.getAs[Long]("doc_b") / 4)
+    assert(within.nonEmpty)
+    assert(within.forall(_.getAs[Long]("hamming") <= 4L))
+  }
 }
