@@ -96,6 +96,15 @@ def main():
                     help="fatal regression ratio (default 1.5x)")
     ap.add_argument("--min-seconds", type=float, default=0.5,
                     help="baseline entries faster than this are noise-exempt")
+    ap.add_argument("--duckdb-baseline", default=None,
+                    help="BASELINE_duckdb.json: additionally gate CURRENT "
+                         "against absolute DuckDB wall-times (use ONLY "
+                         "with a CURRENT measured at the same SF dir the "
+                         "baseline was)")
+    ap.add_argument("--ratio", type=float, default=2.0,
+                    help="fatal Spark/DuckDB ratio for comparable entries")
+    ap.add_argument("--abs-ceiling", type=float, default=30.0,
+                    help="fatal absolute per-entry Spark seconds")
     args = ap.parse_args()
 
     base, base_total, base_var, base_err = load_queries(args.baseline)
@@ -140,6 +149,37 @@ def main():
     ct = sum(cur[n] for n in common)
     if bt > 0:
         print(f"common-entry total: {bt:.1f}s -> {ct:.1f}s ({ct/bt:.2f}x)")
+
+    # absolute single-node gate: BASELINE.json's "within 2x of BASELINE
+    # at the same scale factor", against DuckDB's measured wall-times.
+    # Comparable = the oracle itself did >= 0.5 s of work (below that the
+    # Spark figure is the local-mode per-job scheduling floor, which
+    # amortizes away on a cluster); cause-annotated entries are exempt
+    # from the ratio but still under the absolute ceiling.
+    if args.duckdb_baseline:
+        doc = json.load(open(args.duckdb_baseline))
+        duck = {short_id(k): v for k, v in doc["queries"].items()
+                if isinstance(v, (int, float))}
+        causes = {short_id(k) for k in doc.get("causes", {})}
+        dcommon = sorted(set(duck) & set(cur))
+        cd = sum(duck[n] for n in dcommon if duck[n] >= 0.5)
+        cs = sum(cur[n] for n in dcommon if duck[n] >= 0.5)
+        print(f"duckdb gate: {len(dcommon)} common entries; comparable "
+              f"subset {cs:.1f}s vs duckdb {cd:.1f}s ({cs/cd:.2f}x)")
+        for n in dcommon:
+            d, s = duck[n], cur[n]
+            if s > args.abs_ceiling:
+                print(f"  CEILING  {n:<22} spark {s:7.2f}s > "
+                      f"{args.abs_ceiling}s  [FATAL]")
+                fatal.append(n)
+            elif d >= 0.5 and n not in causes and s / d > args.ratio:
+                print(f"  RATIO    {n:<22} duckdb {d:7.2f}s -> spark "
+                      f"{s:7.2f}s ({s/d:.1f}x > {args.ratio}x)  [FATAL]")
+                fatal.append(n)
+        if cd > 0 and cs / cd > args.ratio:
+            print(f"  RATIO    comparable-subset total {cs/cd:.2f}x > "
+                  f"{args.ratio}x  [FATAL]")
+            fatal.append("subset-total")
     if fatal:
         print(f"FATAL: {len(fatal)} entries regressed >{args.threshold}x, "
               f"errored, or vanished: {', '.join(fatal)}")
