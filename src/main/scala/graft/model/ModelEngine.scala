@@ -484,4 +484,23 @@ object ModelEngine {
     val p = new org.apache.hadoop.fs.Path(warehouse, table)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
+
+  /** Unit-test diff report: bag-semantics comparison of a materialized
+    * model against its expected rows (dbt-style unit tests). `nMissing`
+    * counts expected rows the model did not produce, `nUnexpected` the
+    * converse — exceptAll in both directions, so duplicate-row
+    * multiplicity mismatches are caught too. Expected columns are
+    * aligned to the model's column order by name.
+    */
+  final case class UnitDiff(
+      nExpected: Long, nActual: Long, nMissing: Long, nUnexpected: Long) {
+    def passed: Boolean = nMissing == 0 && nUnexpected == 0
+  }
+
+  def unitDiff(actual: org.apache.spark.sql.DataFrame,
+               expected: org.apache.spark.sql.DataFrame): UnitDiff = {
+    val exp = expected.select(actual.columns.map(org.apache.spark.sql.functions.col(_)): _*)
+    UnitDiff(exp.count(), actual.count(),
+      exp.exceptAll(actual).count(), actual.exceptAll(exp).count())
+  }
 }

@@ -825,4 +825,219 @@ object Dedup {
        |FROM m l JOIN m r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
        |ORDER BY cosine DESC, id_a ASC, id_b ASC
        |LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- d10
+
+  /** SemDeDup retention threshold: a vector whose max cosine to an
+    * EARLIER same-cell vector reaches τ is dropped (scan-order keep-first,
+    * the deterministic variant of the paper's keep-one-per-ε-cluster).
+    */
+  private val SemDedupTau = 0.35
+  /** Cell count scales with the corpus (~32 vectors per cell on average):
+    * planes p is the smallest in [4, 16] with n ≤ 32·2^p. Integer ladder,
+    * not ceil(log2(·)) — Java's log(n)/log(2) and libm's log2 disagree by
+    * an ulp exactly at the power-of-two boundaries where ceil flips.
+    */
+  private val SemDedupPlaneLadder: Seq[(Long, Int)] =
+    (4 to 16).map(p => (32L << p, p))
+  private def semDedupPlanes(n: Long): Int =
+    SemDedupPlaneLadder.collectFirst { case (cap, p) if n <= cap => p }.getOrElse(16)
+
+  /** d10_semdedup — SemDeDup-style semantic dedup as a RETENTION POLICY
+    * (d5/d8 report near-dup pairs/clusters; this operator decides, per
+    * vector, keep or drop — the pass a curation pipeline actually
+    * executes before training). Cells are deterministic hyperplane
+    * buckets whose count scales with the corpus (the k-means cells of
+    * the SemDeDup paper swapped for an engine-reproducible partitioner);
+    * within a cell each vector is scored against its EARLIER cellmates
+    * only, and dropped when the max cosine reaches τ = 0.35 — keep-first
+    * scan order, so the decision is a pure function of the corpus and
+    * identical across engines, runs, and cluster sizes.
+    *
+    * Scale shape: one narrow pass buckets the corpus; pairwise scoring
+    * happens strictly within cells, whose expected size stays ~32 at any
+    * corpus (planes grow with log n), with the [2, EmbedMaxBucket] guard
+    * capping degenerate cells; output is one row per vector. A 13-branch
+    * integer CASE ladder picks the plane count in both engines — the one
+    * extra job is a count(). [oracle]
+    */
+  def d10_semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val unit = Similarity.withUnit(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), col("unit")).persistTracked
+    val nPlanes = semDedupPlanes(unit.count())
+    val cells = Similarity.withHyperplaneBucket(unit, nPlanes, seed = 11L)
+      .select(col("vec_id"), col("unit"), col("bucket").as("cell"))
+      .persistTracked
+    val ok = cells.groupBy("cell").count()
+      .filter(col("count").between(2, EmbedMaxBucket)).select("cell")
+    val m = cells.join(ok, Seq("cell"), "left_semi")
+    val prior = m.as("a").join(m.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        round(Similarity.dot(col("a.unit"), col("b.unit")), 6).as("cos"))
+      .groupBy("vec_id").agg(max("cos").as("mp"))
+    // sentinel -2.0 = "no earlier cellmate" (cosine is bounded below by -1)
+    cells.select("vec_id", "cell")
+      .join(prior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("mp"), lit(-2.0)).as("max_prior_cosine"),
+        (coalesce(col("mp"), lit(-2.0)) < SemDedupTau).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of d10: the plane count comes from the same integer
+    * CASE ladder over COUNT(*), and the cell code masks the 16 embedded
+    * plane terms down to the first `np` — identical cells, identical
+    * earlier-cellmate max cosines, identical keep bits.
+    */
+  lazy val d10_oracle: String = {
+    val ladder = SemDedupPlaneLadder.init
+      .map { case (cap, p) => s"WHEN cnt <= $cap THEN $p" }
+      .mkString(" ")
+    val maskedCell = Similarity.integerPlanes(16, 64, 11L).zipWithIndex.map {
+      case (w, p) =>
+        val lits = w.map(v => s"${v.toDouble}").mkString("[", ", ", "]")
+        s"(CASE WHEN $p < np AND list_dot_product(unit, $lits) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH np_t AS (
+       |  SELECT (CASE $ladder ELSE 16 END) AS np
+       |  FROM (SELECT COUNT(*) AS cnt FROM embeddings)),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+       |  FROM v),
+       |b AS (SELECT vec_id, unit, $maskedCell AS cell FROM u, np_t),
+       |ok AS (
+       |  SELECT cell FROM b GROUP BY cell
+       |  HAVING COUNT(*) BETWEEN 2 AND $EmbedMaxBucket),
+       |m AS (SELECT b.* FROM b JOIN ok USING (cell)),
+       |prior AS (
+       |  SELECT a.vec_id, MAX(round(list_dot_product(a.unit, b.unit), 6)) AS mp
+       |  FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  GROUP BY a.vec_id)
+       |SELECT b.vec_id, b.cell,
+       |  COALESCE(p.mp, -2.0) AS max_prior_cosine,
+       |  COALESCE(p.mp, -2.0) < $SemDedupTau AS keep
+       |FROM b LEFT JOIN prior p ON b.vec_id = p.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t27
+
+  /** t27_fuzzy_decontam — MinHash/LSH decontamination of the train split
+    * against the eval split: t9 flags any shared 5-gram (exact overlap),
+    * t23 measures shared-span length; this operator catches the fuzzy
+    * leak both miss — an eval document that was lightly edited before it
+    * entered the training corpus. d2's signature machinery (sha-based
+    * MinHash(64), 16 bands × 4 rows) generates train×eval candidates,
+    * exact shingle Jaccard ≥ 0.5 confirms (decontam trades precision for
+    * recall, hence a lower bar than dedup's 0.7).
+    *
+    * Scale shape: at 100 TB the eval side is benchmark-sized — its
+    * banded signatures BROADCAST, so the corpus is never shuffled: one
+    * narrow signature pass, a broadcast-hash candidate join, and a
+    * verify join on the (sparse) candidates. The df guard drops band
+    * keys shared by >100 eval docs (degenerate boilerplate bands).
+    * [oracle]
+    */
+  def t27_fuzzy_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sh = withShingles(
+        docs.filter(col("doc_id") % 100 < 80 || col("doc_id") % 100 >= 90))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .persistTracked
+    val sig = sh.withColumn("sig",
+      graft.functions.HashExpressions.shaMinHash(col("shingles"), K))
+      .select("doc_id", "sig")
+    val bandStructs = array((0 until BANDS).map { b =>
+      val key = concat_ws(",",
+        (0 until ROWS_PER_BAND).map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1)): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }: _*)
+    val banded = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val trainB = banded.filter(col("doc_id") % 100 < 80)
+    val evalB = banded.filter(col("doc_id") % 100 >= 90)
+      .withColumnRenamed("doc_id", "eval_id")
+    val evalOk = evalB.groupBy("band", "bkey").count()
+      .filter(col("count") <= 100).select("band", "bkey")
+    val evalG = evalB.join(evalOk, Seq("band", "bkey"), "left_semi")
+    val cands = trainB.join(broadcast(evalG), Seq("band", "bkey"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val confirmed = cands
+      .join(sh.select(col("doc_id"), col("shingles").as("sh_t"), col("n").as("n_t")),
+        Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("eval_id"), col("shingles").as("sh_e"),
+        col("n").as("n_e")), Seq("eval_id"))
+      .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_e"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_t") + col("n_e") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("best_jaccard"))
+    docs.filter(col("doc_id") % 100 < 80).select("doc_id")
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        coalesce(col("n_eval_matches") > 0, lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of t27 — d2's signature SQL with the train/eval split,
+    * the eval-side df guard, and the per-train-doc rollup.
+    */
+  lazy val t27_oracle: String = {
+    val minExprs = (0 until K)
+      .map(k => s"MIN((${minhashA(k)} * h + ${minhashB(k)}) % $MINHASH_P) AS m$k")
+      .mkString(",\n      ")
+    val bandRows = (0 until BANDS).map { b =>
+      val key = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS bkey FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    ELSE [array_to_string(toks, ' ')] END) AS shingles
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents WHERE doc_id % 100 < 80 OR doc_id % 100 >= 90)),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |sig AS (
+       |  SELECT doc_id,
+       |      $minExprs
+       |  FROM hashed GROUP BY doc_id),
+       |exploded AS (
+       |      $bandRows),
+       |trainb AS (SELECT * FROM exploded WHERE doc_id % 100 < 80),
+       |evalb AS (SELECT doc_id AS eval_id, band, bkey FROM exploded
+       |          WHERE doc_id % 100 >= 90),
+       |evalok AS (
+       |  SELECT band, bkey FROM evalb GROUP BY band, bkey
+       |  HAVING COUNT(*) <= 100),
+       |evalg AS (SELECT e.* FROM evalb e JOIN evalok USING (band, bkey)),
+       |cand AS (
+       |  SELECT t.doc_id, e.eval_id
+       |  FROM trainb t JOIN evalg e USING (band, bkey)
+       |  GROUP BY 1, 2),
+       |confirmed AS (
+       |  SELECT doc_id, COUNT(*) AS n_eval_matches, MAX(jaccard) AS best_jaccard
+       |  FROM (
+       |    SELECT c.doc_id, c.eval_id,
+       |      round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |        / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+       |    FROM cand c JOIN sh a ON a.doc_id = c.doc_id JOIN sh b ON b.doc_id = c.eval_id)
+       |  WHERE jaccard >= 0.5 GROUP BY doc_id),
+       |train AS (SELECT doc_id FROM documents WHERE doc_id % 100 < 80)
+       |SELECT t.doc_id,
+       |  COALESCE(c.n_eval_matches, 0) AS n_eval_matches,
+       |  COALESCE(c.best_jaccard, 0.0) AS best_jaccard,
+       |  COALESCE(c.n_eval_matches > 0, false) AS contaminated
+       |FROM train t LEFT JOIN confirmed c ON t.doc_id = c.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 }

@@ -881,4 +881,61 @@ object PipelineOps {
       |FROM seg s JOIN w USING (word)
       |WHERE s.iter = len(s.word)
       |ORDER BY s.word""".stripMargin
+
+  // ---------------------------------------------------------------- p3
+
+  /** p3_temperature_mix — the temperature-scaled sampling PLAN (p2
+    * enforces a uniform downsample-only target; this computes the
+    * rebalance a multilingual/multi-source run actually trains with):
+    * source s gets sampling share q_s ∝ p_s^α at α = 1/2, the
+    * low-resource-upweighting exponent family of mBERT/XLM-R. α = 1/2
+    * is deliberate: q_s reduces to √tokens_s, and floor(√n) is exact
+    * integer arithmetic in every engine (IEEE sqrt is correctly
+    * rounded), so the whole plan — shares, target tokens, repetition
+    * epochs — is engine-reproducible without a single irrational pow().
+    *
+    *   w_s        = floor(sqrt(tokens_s))
+    *   target_pm  = w_s·1000 DIV Σw            (permille share)
+    *   target_tok = budget·w_s DIV Σw          (budget = Σ tokens: re-mix, same total)
+    *   epochs_bp  = target_tok·10000 DIV tokens_s  (>10000 ⇒ source repeats)
+    *
+    * Scale shape: one narrow scan → n_sources-row aggregate; everything
+    * after is arithmetic on that broadcast-sized frame. The output is
+    * the data-card mix table; applying it is p2's ticket sampler with
+    * rate = epochs capped at 1000‰ (upsampling replicates epochs).
+    * [oracle]
+    */
+  def p3_temperature_mix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).documents
+      .select(col("source"), expr(s"size(${TextOps.TOKENS})").cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("n_tokens"))
+      .withColumn("wgt", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    cells
+      .crossJoin(broadcast(cells.agg(
+        sum("wgt").cast("long").as("wsum"),
+        sum("n_tokens").cast("long").as("budget"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000L DIV budget").as("natural_pm"),
+        expr("wgt * 1000L DIV wsum").as("target_pm"),
+        expr("budget * wgt DIV wsum").as("target_tokens"),
+        expr("(budget * wgt DIV wsum) * 10000L DIV n_tokens").as("epochs_bp"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of p3: identical integer plan off floor(sqrt(tokens)). */
+  val p3_oracle: String =
+    """WITH cells AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wgt FROM cells),
+      |tot AS (SELECT CAST(SUM(wgt) AS BIGINT) AS wsum,
+      |               CAST(SUM(n_tokens) AS BIGINT) AS budget FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  n_tokens * 1000 // budget AS natural_pm,
+      |  wgt * 1000 // wsum AS target_pm,
+      |  budget * wgt // wsum AS target_tokens,
+      |  (budget * wgt // wsum) * 10000 // n_tokens AS epochs_bp
+      |FROM w, tot ORDER BY source""".stripMargin
 }

@@ -1088,4 +1088,126 @@ object Similarity {
       |SELECT query_id, neighbor_id, cosine, rank
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- s11
+
+  private val MmrShortlist = 20
+  private val MmrK = 5
+
+  /** s11_mmr — Maximal Marginal Relevance diversified re-rank: the
+    * post-retrieval pass that trades raw relevance for coverage
+    * (Carbonell & Goldstein 1998). Per query, an exact top-20 shortlist
+    * is greedily re-ranked for 5 steps: step t picks
+    * argmax_c λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ = 0.7.
+    * All scores are fixed-point integers (round(cos·10⁶), λ scaled to
+    * 7/3), so the greedy's argmax — inherently order-sensitive — is a
+    * pure integer recurrence with a cand_id tiebreak, identical in any
+    * engine.
+    *
+    * Scale shape: the corpus is touched exactly once (s1's broadcast-
+    * query scan + native bounded-heap top-20); everything after runs on
+    * shortlist² = 380 pair rows per query. The greedy is sequential BY
+    * DEFINITION, so it runs inside flatMapGroups with strictly bounded
+    * per-group state (≤ shortlist² rows ≈ 3 KB) — queries parallelize,
+    * steps don't. [oracle]
+    */
+  def s11_mmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val unit = withUnit(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), col("unit"))
+    val q = broadcast(unit.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit")))
+    val scored = unit.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("unit"),
+        round(dot(col("qunit"), col("unit")) * 1e6).cast("long").as("rel6"))
+    val shortlist = graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("query_id"),
+        Seq(("rel6", false), ("cand_id", true)), MmrShortlist)
+      .persistTracked
+    val pairs = shortlist.as("a").join(shortlist.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.cand_id") =!= col("b.cand_id"))
+      .select(col("a.query_id"), col("a.cand_id").as("ca"),
+        col("b.cand_id").as("cb"),
+        round(dot(col("a.unit"), col("b.unit")) * 1e6).cast("long").as("sim6"),
+        col("a.rel6"))
+      .as[(Long, Long, Long, Long, Long)]
+    pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // bounded group: ≤ MmrShortlist·(MmrShortlist−1) pair rows per query
+      val rel = scala.collection.mutable.Map.empty[Long, Long]
+      val sim = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      it.foreach { case (_, a, b, s6, r6) => rel(a) = r6; sim((a, b)) = s6 }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var step = 1
+      while (step <= math.min(MmrK, rel.size)) {
+        val best = rel.keysIterator.filterNot(selected.contains).map { c =>
+          val score =
+            if (selected.isEmpty) 7L * rel(c)
+            else 7L * rel(c) - 3L * selected.iterator.map(s => sim((c, s))).max
+          (c, score)
+        }.reduceLeft((x, y) =>
+          if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+        selected += best._1
+        out += ((qid, step.toLong, best._1, best._2))
+        step += 1
+      }
+      out.iterator
+    }.toDF("query_id", "step", "cand_id", "mmr6")
+      .orderBy("query_id", "step")
+  }
+
+  /** DuckDB mirror of s11: the 5 greedy steps UNROLLED into chained
+    * CTEs (each step = anti-join selected, max-sim aggregate, window
+    * argmax) — no recursion, same integer arithmetic, same tiebreaks.
+    */
+  lazy val s11_oracle: String = {
+    val steps = (2 to MmrK).map { k =>
+      s"""sel$k AS (
+         |  SELECT query_id, $k AS step, cand_id, mmr6 FROM (
+         |    SELECT x.query_id, x.cand_id, x.mmr6, row_number() OVER (
+         |      PARTITION BY x.query_id ORDER BY x.mmr6 DESC, x.cand_id ASC) AS rn
+         |    FROM (
+         |      SELECT r.query_id, r.cand_id, 7 * r.rel6 - 3 * MAX(p.sim6) AS mmr6
+         |      FROM shortlist r
+         |      JOIN selu${k - 1} s ON s.query_id = r.query_id
+         |      JOIN psim p ON p.query_id = r.query_id AND p.ca = r.cand_id
+         |        AND p.cb = s.cand_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} z
+         |        WHERE z.query_id = r.query_id AND z.cand_id = r.cand_id)
+         |      GROUP BY r.query_id, r.cand_id, r.rel6) x) WHERE rn = 1),
+         |selu$k AS (SELECT * FROM selu${k - 1} UNION ALL SELECT * FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+       |  FROM v),
+       |q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id < 10),
+       |scoredall AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id, c.unit,
+       |    CAST(round(list_dot_product(q.qunit, c.unit) * 1000000) AS BIGINT) AS rel6
+       |  FROM q JOIN u c ON c.vec_id <> q.query_id),
+       |shortlist AS (
+       |  SELECT query_id, cand_id, unit, rel6 FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rel6 DESC, cand_id ASC) AS rn
+       |    FROM scoredall) WHERE rn <= $MmrShortlist),
+       |psim AS (
+       |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |    CAST(round(list_dot_product(a.unit, b.unit) * 1000000) AS BIGINT) AS sim6
+       |  FROM shortlist a JOIN shortlist b
+       |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+       |sel1 AS (
+       |  SELECT query_id, 1 AS step, cand_id, 7 * rel6 AS mmr6 FROM (
+       |    SELECT query_id, cand_id, rel6, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rel6 DESC, cand_id ASC) AS rn
+       |    FROM shortlist) WHERE rn = 1),
+       |selu1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT query_id, CAST(step AS BIGINT) AS step, cand_id, mmr6
+       |FROM selu$MmrK ORDER BY query_id, step""".stripMargin
+  }
 }

@@ -504,4 +504,90 @@ object ModelQueries {
       |       ELSE 'error' END AS status
       |FROM per CROSS JOIN g
       |ORDER BY event_type""".stripMargin
+
+  /** a11_unit_tests — dbt-style model UNIT TESTS (dbt 1.8's headline
+    * feature; beyond the reference's ASSERT data tests, which run
+    * against live data — a3): a model's SQL is executed against a small
+    * FIXTURE input through the real parse→DAG→run path, and the result
+    * is diffed row-by-row (bag semantics, both directions) against the
+    * test author's expected rows. One test is seeded to pass and one to
+    * fail (its expected rows plant an off-by-one on one group), so the
+    * report exercises both verdicts and all four diff counters.
+    *
+    * The fixture is a deterministic ~1% key-slice of orders, so the
+    * oracle recomputes the identical models, expected rows, and EXCEPT
+    * ALL diff counts from the same parquet. Shape: the fixture frames
+    * are tiny; every count is an O(fixture) job. [oracle]
+    */
+  def a11_unit_tests(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    spark.table("orders").filter(col("o_orderkey") % 97 === 0)
+      .createOrReplaceTempView("fixture_orders")
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW ut_status AS
+        |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM fixture_orders GROUP BY o_orderstatus;
+        |CREATE VIEW ut_priority AS
+        |  SELECT o_orderpriority, COUNT(*) AS n_orders
+        |  FROM fixture_orders GROUP BY o_orderpriority
+        |""".stripMargin)
+    new ModelEngine(spark).run(models, tmpWarehouse())
+    val exp1 = spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM fixture_orders GROUP BY o_orderstatus""".stripMargin)
+    val exp2 = spark.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) + CASE WHEN o_orderpriority =
+        |    (SELECT MIN(o_orderpriority) FROM fixture_orders)
+        |    THEN 1 ELSE 0 END AS n_orders
+        |FROM fixture_orders GROUP BY o_orderpriority""".stripMargin)
+    import spark.implicits._
+    Seq(("accepts_status_rollup", "ut_status", exp1),
+        ("rejects_seeded_defect", "ut_priority", exp2))
+      .map { case (test, model, exp) =>
+        val d = ModelEngine.unitDiff(spark.table(model), exp)
+        (test, model, d.nExpected, d.nActual, d.nMissing, d.nUnexpected, d.passed)
+      }
+      .toDF("test", "model", "n_expected", "n_actual",
+        "n_missing", "n_unexpected", "passed")
+      .orderBy("test")
+  }
+
+  /** DuckDB mirror of a11: same fixture slice, same two models, same
+    * expected rows (including the seeded defect), EXCEPT ALL in both
+    * directions for the diff counts.
+    */
+  val a11_oracle: String =
+    """WITH fx AS (SELECT * FROM orders WHERE o_orderkey % 97 = 0),
+      |m1 AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |  FROM fx GROUP BY o_orderstatus),
+      |e1 AS (SELECT * FROM m1),
+      |m2 AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n_orders
+      |  FROM fx GROUP BY o_orderpriority),
+      |e2 AS (
+      |  SELECT o_orderpriority,
+      |    COUNT(*) + CASE WHEN o_orderpriority = (SELECT MIN(o_orderpriority) FROM fx)
+      |      THEN 1 ELSE 0 END AS n_orders
+      |  FROM fx GROUP BY o_orderpriority),
+      |r1 AS (
+      |  SELECT 'accepts_status_rollup' AS test, 'ut_status' AS model,
+      |    (SELECT COUNT(*) FROM e1) AS n_expected,
+      |    (SELECT COUNT(*) FROM m1) AS n_actual,
+      |    (SELECT COUNT(*) FROM (SELECT * FROM e1 EXCEPT ALL SELECT * FROM m1)) AS n_missing,
+      |    (SELECT COUNT(*) FROM (SELECT * FROM m1 EXCEPT ALL SELECT * FROM e1)) AS n_unexpected),
+      |r2 AS (
+      |  SELECT 'rejects_seeded_defect' AS test, 'ut_priority' AS model,
+      |    (SELECT COUNT(*) FROM e2) AS n_expected,
+      |    (SELECT COUNT(*) FROM m2) AS n_actual,
+      |    (SELECT COUNT(*) FROM (SELECT * FROM e2 EXCEPT ALL SELECT * FROM m2)) AS n_missing,
+      |    (SELECT COUNT(*) FROM (SELECT * FROM m2 EXCEPT ALL SELECT * FROM e2)) AS n_unexpected)
+      |SELECT test, model, n_expected, n_actual, n_missing, n_unexpected,
+      |  n_missing = 0 AND n_unexpected = 0 AS passed
+      |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+      |ORDER BY test""".stripMargin
 }

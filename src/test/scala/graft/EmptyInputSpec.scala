@@ -49,7 +49,11 @@ class EmptyInputSpec extends SparkSpec {
       // boilerplate strip, trade-graph components
       "s10_ann_sq", "p2_mix_apply", "t24_ccnet_buckets",
       "t25_boilerplate_strip", "g4_components", "t26_wordpiece",
-      "a10_freshness")
+      "a10_freshness",
+      // round-9 additions: semantic dedup retention, fuzzy decontam,
+      // MMR re-rank, temperature mix plan, model unit tests
+      "d10_semdedup", "t27_fuzzy_decontam", "s11_mmr",
+      "p3_temperature_mix", "a11_unit_tests")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()
