@@ -1040,4 +1040,101 @@ object Dedup {
        |FROM train t LEFT JOIN confirmed c ON t.doc_id = c.doc_id
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- d11
+
+  private val SpanGram = 5  // positional gram width (tokens)
+  /** Grams shared by more docs than this are boilerplate: dropping them
+    * bounds candidate pairs per gram at df² and loses only spans whose
+    * every gram is corpus-common (the same precision/recall trade
+    * exact-substring dedup systems make for their suffix-array freq cap).
+    */
+  private val SpanDfCap = 20
+  private val SpanMin = 12  // report pairs sharing a span of ≥ this many tokens
+
+  /** d11_span_dedup — corpus-INTERNAL exact-substring duplication
+    * (the train/train counterpart of t23's train/eval decontam; the
+    * "dedup repeated substrings between documents" pass of
+    * suffix-array-based training-data dedup): for every document pair
+    * sharing a verbatim token span of ≥ 12 tokens, report the longest
+    * shared span and the total shared-gram mass. Positional 5-grams form
+    * an inverted index; a pair match on the same DIAGONAL (pos_a − pos_b
+    * constant) with consecutive positions is exactly a contiguous shared
+    * span, so gaps-and-islands per (pair, diagonal) recovers span
+    * lengths without ever re-reading the texts.
+    *
+    * Scale shape: one narrow scan explodes positional grams; the df
+    * filter [2, 20] bounds the self-join at df² pairs per gram (never
+    * all-pairs, boilerplate grams dropped); islands group on (pair,
+    * diagonal) — sparse match rows only. Grams are exchanged as strings
+    * here for oracle parity; at 100 TB the band key would be
+    * xxhash64(gram) — 8 bytes, same plan. [oracle]
+    */
+  def d11_span_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("toks", expr(TextOps.TOKENS))
+    val posGrams = docs.filter(size(col("toks")) >= SpanGram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${SpanGram - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $SpanGram)) AS gram))")).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .persistTracked
+    val ok = posGrams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df").between(2, SpanDfCap)).select("gram")
+    val m = posGrams.join(ok, Seq("gram"))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    pairs.withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "island").agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg((max("run") + (SpanGram - 1)).cast("long").as("longest_span"),
+        sum("run").cast("long").as("n_shared_grams"))
+      .filter(col("longest_span") >= SpanMin)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB mirror of d11: identical positional grams, df window,
+    * diagonal islands, and span threshold.
+    */
+  val d11_oracle: String =
+    s"""WITH toksd AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |pg AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) - ${SpanGram - 2})) AS pos, toks
+       |  FROM toksd WHERE len(toks) >= $SpanGram),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |    ${(0 until SpanGram).map(i => s"toks[pos+$i]").mkString(" || ' ' || ")} AS gram
+       |  FROM pg),
+       |ok AS (
+       |  SELECT gram FROM grams GROUP BY gram
+       |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SpanDfCap),
+       |m AS (SELECT g.* FROM grams g JOIN ok USING (gram)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pos_a, a.pos - b.pos AS diag
+       |  FROM m a JOIN m b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+       |  FROM pairs),
+       |islands AS (
+       |  SELECT doc_a, doc_b, diag, island, COUNT(*) AS run
+       |  FROM runs GROUP BY 1, 2, 3, 4),
+       |agged AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(MAX(run) + ${SpanGram - 1} AS BIGINT) AS longest_span,
+       |    CAST(SUM(run) AS BIGINT) AS n_shared_grams
+       |  FROM islands GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, longest_span, n_shared_grams
+       |FROM agged WHERE longest_span >= $SpanMin
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

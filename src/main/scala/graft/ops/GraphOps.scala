@@ -338,4 +338,91 @@ object GraphOps {
       |)
       |SELECT CAST(nation AS BIGINT) AS nation, r AS pagerank
       |FROM pr WHERE iter = 10 ORDER BY nation""".stripMargin
+
+  /** g5_communities — weighted LABEL-PROPAGATION communities on the
+    * undirected heavy-lane trade graph (g2's exact 75th-percentile cut;
+    * edge weight = summed trade volume over both directions): which
+    * trading blocs emerge when each nation repeatedly adopts the label
+    * its neighbors back with the most volume. 8 SYNCHRONOUS rounds of
+    * `label' = argmax_label Σ w(neighbor with that label)`, ties to the
+    * smallest label, isolated nodes keep their own — a fixed-round
+    * deterministic integer recurrence (g1/g3/g4's discipline), so the
+    * result is hash-exact against the mirrored recursive CTE rather
+    * than a convergence race. Completes the graph family: centrality
+    * (g1), cohesion (g2), reachability (g3), connectivity (g4),
+    * community structure (g5).
+    *
+    * Scale shape: the heavy work is the one contracted-edge aggregation
+    * (distributed, checkpointed); the bounded recurrence runs
+    * driver-side on the collected ≤25-node contracted graph
+    * (O(model-state)). Corpus-scale community detection — millions of
+    * nodes — would run the same recurrence distributed with d6's
+    * checkpoint cadence; on a contracted graph the driver fixpoint is
+    * strictly better. [oracle: recursive CTE]
+    */
+  def g5_communities(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val ew = tradeEdges(t).localCheckpoint(true)
+    val thrRow = ew.agg(expr("percentile(w, 0.75)").as("thr")).first()
+    val thr = if (thrRow.isNullAt(0)) Double.MaxValue else thrRow.getDouble(0)
+    val heavy = ew.filter(col("w") >= thr).filter(col("src") =!= col("dst"))
+    val und = heavy.select(col("src"), col("dst"), col("w"))
+      .union(heavy.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
+    val edges = collectEdges(und)
+    val nations = collectNations(t)
+    var label: Map[Long, Long] = nations.map(n => (n, n)).toMap
+    for (_ <- 0 until 8) {
+      val votes = edges
+        .map { case (v, u, w) => ((v, label(u)), w) }
+        .groupBy(_._1).map { case ((v, l), vs) => (v, l, vs.map(_._2).sum) }
+      val best = votes.groupBy(_._1).map { case (v, vs) =>
+        val (_, l, _) = vs.minBy { case (_, l, w) => (-w, l) }
+        (v, l)
+      }
+      label = nations.map(n => (n, best.getOrElse(n, label(n)))).toMap
+    }
+    nations.map(n => (n, label(n))).toSeq.toDF("nation", "community")
+      .orderBy("nation")
+  }
+
+  /** DuckDB mirror of g5: same heavy-lane cut, undirected weight sum,
+    * and the same 8-round argmax recurrence (row_number tie to the
+    * smallest label — g3's bounded-recursive-CTE discipline).
+    */
+  val g5_oracle: String =
+    """WITH RECURSIVE
+      |edw AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |heavy AS MATERIALIZED (
+      |  SELECT src, dst, w FROM (
+      |    SELECT src, dst, w, quantile_cont(w, 0.75) OVER () AS thr FROM edw)
+      |  WHERE w >= thr AND src <> dst),
+      |und AS MATERIALIZED (
+      |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+      |    SELECT src, dst, w FROM heavy
+      |    UNION ALL SELECT dst AS src, src AS dst, w FROM heavy)
+      |  GROUP BY 1, 2),
+      |lab AS (
+      |  SELECT 0 AS iter, CAST(n_nationkey AS BIGINT) AS nation,
+      |    CAST(n_nationkey AS BIGINT) AS community
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT lab.iter + 1, lab.nation, COALESCE(b.best, lab.community)
+      |  FROM lab LEFT JOIN (
+      |    SELECT v, community AS best FROM (
+      |      SELECT u.src AS v, l2.community, SUM(u.w) AS tw,
+      |        row_number() OVER (PARTITION BY u.src
+      |          ORDER BY SUM(u.w) DESC, l2.community ASC) AS rn
+      |      FROM und u JOIN lab l2 ON l2.nation = u.dst
+      |      GROUP BY u.src, l2.community) WHERE rn = 1) b
+      |    ON b.v = lab.nation
+      |  WHERE lab.iter < 8
+      |)
+      |SELECT nation, community FROM lab WHERE iter = 8 ORDER BY nation""".stripMargin
 }

@@ -938,4 +938,67 @@ object PipelineOps {
       |  budget * wgt // wsum AS target_tokens,
       |  (budget * wgt // wsum) * 10000 // n_tokens AS epochs_bp
       |FROM w, tot ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- p4
+
+  /** p4_anneal_mix — TWO-PHASE mix plan (p3 is a single-phase
+    * temperature rebalance; this is the pretrain→anneal schedule
+    * mid-training runs actually follow): phase 1 ("pretrain", 9/10 of
+    * the token budget) samples sources at their natural share; phase 2
+    * ("anneal", the final 1/10) restricts to quality-gated documents —
+    * t19's Gopher-rule keep bit — and samples sources by their
+    * HIGH-QUALITY token mass, upweighting clean sources exactly when
+    * the schedule says quality matters most. All arithmetic is integer
+    * DIV off exact token counts, so the plan is engine-reproducible;
+    * `anneal_epochs_bp` > 10000 flags sources whose clean slice must
+    * repeat during the anneal.
+    *
+    * Scale shape: t19's flags come from one narrow scan (per-doc rule
+    * bits, no shuffle), then ONE n_sources-row aggregate and broadcast
+    * arithmetic — the corpus is never shuffled; the apply step is p2's
+    * ticket sampler per phase. [oracle]
+    */
+  def p4_anneal_mix(spark: SparkSession, dir: String): DataFrame = {
+    val flags = TextOps.t19_gopher_rules(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("keep"))
+    val cells = Tables(spark, dir).documents.select("doc_id", "source")
+      .join(flags, Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum(expr("n_tokens * keep")).cast("long").as("n_hq_tokens"))
+    cells
+      .crossJoin(broadcast(cells.agg(
+        sum("n_tokens").cast("long").as("tot"),
+        sum("n_hq_tokens").cast("long").as("tot_hq"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_hq_tokens"),
+        expr("(tot * 9L DIV 10L) * n_tokens DIV tot").as("pretrain_tokens"),
+        expr("(tot DIV 10L) * n_hq_tokens DIV tot_hq").as("anneal_tokens"),
+        expr("CASE WHEN n_hq_tokens = 0L THEN 0L ELSE " +
+          "(tot DIV 10L) * n_hq_tokens DIV tot_hq * 10000L DIV n_hq_tokens END")
+          .as("anneal_epochs_bp"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of p4: t19's oracle (verbatim, as a CTE) supplies the
+    * keep bits; the phase arithmetic is the same integer DIV plan.
+    */
+  lazy val p4_oracle: String =
+    s"""WITH t19 AS (${TextOps.t19_oracle}),
+       |cells AS (
+       |  SELECT d.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(f.n_tokens * f.keep) AS BIGINT) AS n_hq_tokens
+       |  FROM documents d JOIN t19 f ON d.doc_id = f.doc_id
+       |  GROUP BY d.source),
+       |tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+       |         CAST(SUM(n_hq_tokens) AS BIGINT) AS tot_hq FROM cells)
+       |SELECT source, n_docs, n_tokens, n_hq_tokens,
+       |  (tot * 9 // 10) * n_tokens // tot AS pretrain_tokens,
+       |  (tot // 10) * n_hq_tokens // tot_hq AS anneal_tokens,
+       |  CASE WHEN n_hq_tokens = 0 THEN 0
+       |       ELSE (tot // 10) * n_hq_tokens // tot_hq * 10000 // n_hq_tokens
+       |  END AS anneal_epochs_bp
+       |FROM cells, tot ORDER BY source""".stripMargin
 }

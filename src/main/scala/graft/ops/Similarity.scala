@@ -1210,4 +1210,51 @@ object Similarity {
        |SELECT query_id, CAST(step AS BIGINT) AS step, cand_id, mmr6
        |FROM selu$MmrK ORDER BY query_id, step""".stripMargin
   }
+
+  // ---------------------------------------------------------------- s12
+
+  private val RangeTau = 0.25
+
+  /** s12_range_search — RADIUS search (FAISS `range_search` parity):
+    * every neighbor whose cosine to the query reaches τ = 0.25, not a
+    * fixed k — the retrieval mode dedup-adjacent pipelines use when the
+    * question is "everything this similar", where k-NN either truncates
+    * dense neighborhoods or pads sparse ones. Result size is
+    * data-dependent, so the contract is EXACTNESS of the membership set
+    * (cosines rounded to 1e-6 for cross-engine float stability).
+    *
+    * Scale shape: s1's discipline — the query side broadcasts, the
+    * corpus is scanned exactly once, the τ filter runs inside the scan
+    * projection, and no shuffle exists at all (unlike top-k there is no
+    * global heap to merge: the predicate is per-row). The LSH-bucketed
+    * scale path for huge query sets is s2/s5; this is the exact
+    * baseline those approximations are graded against. [oracle]
+    */
+  def s12_range_search(spark: SparkSession, dir: String): DataFrame = {
+    val unit = withUnit(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), col("unit"))
+    val q = broadcast(unit.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("unit").as("qunit")))
+    unit.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qunit"), col("unit")), 6).as("cosine"))
+      .filter(col("cosine") >= RangeTau)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** DuckDB mirror of s12: same unit-normalization, rounding, and τ. */
+  val s12_oracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+       |  FROM v),
+       |q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id < 10)
+       |SELECT q.query_id, c.vec_id AS neighbor_id,
+       |  round(list_dot_product(q.qunit, c.unit), 6) AS cosine
+       |FROM q JOIN u c ON c.vec_id <> q.query_id
+       |WHERE round(list_dot_product(q.qunit, c.unit), 6) >= $RangeTau
+       |ORDER BY q.query_id, c.vec_id""".stripMargin
 }

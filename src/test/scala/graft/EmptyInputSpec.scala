@@ -53,7 +53,11 @@ class EmptyInputSpec extends SparkSpec {
       // round-9 additions: semantic dedup retention, fuzzy decontam,
       // MMR re-rank, temperature mix plan, model unit tests
       "d10_semdedup", "t27_fuzzy_decontam", "s11_mmr",
-      "p3_temperature_mix", "a11_unit_tests")
+      "p3_temperature_mix", "a11_unit_tests",
+      // round-9 batch 2: span dedup, range search, communities,
+      // two-phase anneal mix
+      "d11_span_dedup", "s12_range_search", "g5_communities",
+      "p4_anneal_mix")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()

@@ -128,6 +128,99 @@ class Round9OpsSpec extends SparkSpec {
       "low-resource sources must be upweighted relative to high-resource ones")
   }
 
+  test("d11: a planted 20-token shared span is recovered exactly; unrelated docs stay unpaired") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_d11_").toString
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val a = s"aleft1 aleft2 aleft3 $span aright1 aright2"
+    val b = s"bpre1 bpre2 bpre3 bpre4 bpre5 $span btail1"
+    val c = (1 to 40).map(i => s"c$i").mkString(" ")
+    spark.createDataFrame(Seq((1L, a), (2L, b), (3L, c)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.d11_span_dedup(spark, dir).collect()
+    assert(out.length == 1, s"exactly the (1,2) pair: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("longest_span") == 20L,
+      s"span length must be exact: $r")
+    // 20 tokens = 16 five-grams, all on one diagonal
+    assert(r.getAs[Long]("n_shared_grams") == 16L)
+  }
+
+  test("d11: driver-corpus pairs all clear the span threshold and are ordered pairs") {
+    val out = Dedup.d11_span_dedup(spark, sfDir).collect()
+    assert(out.nonEmpty, "driver corpus plants near-dup docs sharing long spans")
+    assert(out.forall(r => r.getAs[Long]("longest_span") >= 12))
+    assert(out.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(out.forall(r =>
+      r.getAs[Long]("n_shared_grams") >= r.getAs[Long]("longest_span") - 4))
+  }
+
+  test("s12: the radius set is exactly the tau-superlevel set of the exact scan") {
+    val out = Similarity.s12_range_search(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Double]("cosine") >= 0.25))
+    // s1's exact top-5 rows at/above tau must all be members
+    val members = out.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val top = Similarity.s1_ann_topk(spark, sfDir).collect()
+      .filter(_.getAs[Double]("cosine") >= 0.25)
+    assert(top.nonEmpty, "fixture queries have neighbors above tau")
+    assert(top.forall(r => members(
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))),
+      "range search must contain every exact top-k row above tau")
+  }
+
+  test("s12: threshold separates on a constructed neighborhood") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s12_").toString
+    def mix(c0: Double, i: Int): Seq[Float] = {
+      val s = math.sqrt(1 - c0 * c0).toFloat
+      Seq.tabulate(64)(d => if (d == 0) c0.toFloat else if (d == i) s else 0f)
+    }
+    writeEmbeddings(dir, Seq(0L -> basis(0),
+      10L -> mix(0.30, 1), 11L -> mix(0.20, 2), 12L -> mix(0.25, 3)))
+    val got = Similarity.s12_range_search(spark, dir)
+      .filter(col("query_id") === 0).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got == Set(10L, 12L), s"cos .30/.25 in, .20 out: got $got")
+  }
+
+  test("g5: labels form a partition of the nations and propagation coarsens it") {
+    val out = graft.ops.GraphOps.g5_communities(spark, sfDir).collect()
+    val nations = out.map(_.getAs[Long]("nation")).toSeq
+    assert(nations == nations.sorted && nations.length == 25)
+    val comms = out.map(_.getAs[Long]("community")).toSet
+    assert(comms.subsetOf(nations.toSet), "labels are nation ids")
+    assert(comms.size < 25, "heavy-lane trade graph must merge some blocs")
+    // deterministic: a second run yields identical labels
+    val again = graft.ops.GraphOps.g5_communities(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("nation") -> r.getAs[Long]("community")).toMap
+    assert(out.forall(r =>
+      again(r.getAs[Long]("nation")) == r.getAs[Long]("community")))
+  }
+
+  test("p4: phase budgets are conserved and the anneal phase upweights clean sources") {
+    val out = PipelineOps.p4_anneal_mix(spark, sfDir).collect()
+    assert(out.length > 1)
+    val tot = out.map(_.getAs[Long]("n_tokens")).sum
+    assert(out.map(_.getAs[Long]("pretrain_tokens")).sum <= tot * 9 / 10)
+    assert(out.map(_.getAs[Long]("anneal_tokens")).sum <= tot / 10)
+    assert(out.forall(r =>
+      r.getAs[Long]("n_hq_tokens") <= r.getAs[Long]("n_tokens")))
+    // anneal shares follow hq mass: a source with zero clean tokens gets zero
+    out.filter(_.getAs[Long]("n_hq_tokens") == 0).foreach { r =>
+      assert(r.getAs[Long]("anneal_tokens") == 0 &&
+        r.getAs[Long]("anneal_epochs_bp") == 0)
+    }
+    // epoch bookkeeping: bp > 10000 exactly when the clean slice repeats
+    out.filter(_.getAs[Long]("n_hq_tokens") > 0).foreach { r =>
+      val repeats = r.getAs[Long]("anneal_tokens") > r.getAs[Long]("n_hq_tokens")
+      assert((r.getAs[Long]("anneal_epochs_bp") > 10000) == repeats, s"$r")
+    }
+  }
+
   test("a11: the agreeing unit test passes, the seeded defect fails with a 1/1 diff") {
     val out = ModelQueries.a11_unit_tests(spark, sfDir).collect()
       .map(r => r.getAs[String]("test") -> r).toMap
