@@ -108,6 +108,42 @@ final class ModelEngine(spark: SparkSession) {
     saveState(models, warehouse) // completed build = valid state:modified base
   }
 
+  /** dbt-style SEEDS (a dbt-parity feature beyond the reference, which
+    * has no seed concept): version-controlled CSV files materialized as
+    * dependency-free ROOT tables before any model runs. The file stem
+    * is the table name, the header row names the columns, and types are
+    * inferred by Spark's CSV reader (int64 → double → boolean → string
+    * fallback — dbt's agate-typing shape). Files load in sorted-path
+    * order so repeated runs see a deterministic seed set.
+    */
+  def loadSeeds(dirs: Seq[String]): Seq[(String, DataFrame)] = {
+    import scala.jdk.CollectionConverters._
+    dirs.flatMap { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else java.nio.file.Files.walk(p).iterator().asScala
+        .filter(f => f.toString.endsWith(".csv") &&
+          java.nio.file.Files.isRegularFile(f))
+        .toSeq.sortBy(_.toString)
+        .map { f =>
+          val stem = f.getFileName.toString.stripSuffix(".csv")
+          (stem, spark.read.option("header", "true")
+            .option("inferSchema", "true").csv(f.toString))
+        }
+    }
+  }
+
+  /** Materialize seeds into the warehouse (dbt `seed` command): each
+    * becomes a parquet table re-registered from its materialized form,
+    * so downstream models read the warehouse copy — the same
+    * lineage-cut discipline as TableModel materialization.
+    */
+  def seed(seeds: Seq[(String, DataFrame)], warehouse: String): Unit =
+    seeds.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$warehouse/$name")
+      spark.read.parquet(s"$warehouse/$name").createOrReplaceTempView(name)
+    }
+
   /** Own-definition hash per model — NO upstream chaining. The chained
     * hash (runIncremental) answers "must this model REBUILD" (an
     * upstream edit propagates); the definition hash answers "did a
@@ -470,6 +506,7 @@ final class ModelEngine(spark: SparkSession) {
   def runProject(project: Project, warehouse: String, failFast: Boolean = false): Seq[(String, Boolean)] = {
     val models = project.models.flatMap(ModelParser.loadDir).flatMap(ModelParser.parseModelFile)
     val tests = project.tests.flatMap(ModelParser.loadDir).flatMap(ModelParser.parseTestFile)
+    seed(loadSeeds(project.seeds), warehouse) // roots first: models may reference them
     run(models, warehouse)
     test(tests, failFast)
   }

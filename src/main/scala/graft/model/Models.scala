@@ -27,7 +27,8 @@ final case class AssertTest(condition: String, message: String)
 /** Project config, the powersql.toml surface (reference: src/main.rs:19-28):
   * `[project] name=… models=[dirs] tests=[dirs]`.
   */
-final case class Project(name: String, models: Seq[String], tests: Seq[String])
+final case class Project(name: String, models: Seq[String], tests: Seq[String],
+    seeds: Seq[String] = Nil)
 
 object Project {
 
@@ -39,6 +40,7 @@ object Project {
     var name = ""
     var models = Seq.empty[String]
     var tests = Seq.empty[String]
+    var seeds = Seq.empty[String]
     var inProject = false
     text.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).foreach {
       case l if l.startsWith("[") =>
@@ -51,11 +53,12 @@ object Project {
           case "name"   => name = v.stripPrefix("\"").stripSuffix("\"")
           case "models" => models = strings(v)
           case "tests"  => tests = strings(v)
+          case "seeds"  => seeds = strings(v)
           case _        => ()
         }
       case _ => ()
     }
-    Project(name, models, tests)
+    Project(name, models, tests, seeds)
   }
 
   def load(path: String): Project =

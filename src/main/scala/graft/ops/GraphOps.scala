@@ -425,4 +425,101 @@ object GraphOps {
       |  WHERE lab.iter < 8
       |)
       |SELECT nation, community FROM lab WHERE iter = 8 ORDER BY nation""".stripMargin
+
+  /** g6_kcore — k-core decomposition (bounded synchronous peel) of the
+    * heavy-lane trade graph: for k ∈ {1,2,3}, 8 rounds of "drop every
+    * node whose degree among still-alive nodes is < k", the cohesion
+    * ladder (k-cores nest, so coreness_capped = how many thresholds the
+    * nation survives). Same execution split as g1/g3/g4/g5: the
+    * data-sized work is the contracted-edge aggregation + the g2-style
+    * exact 75th-percentile heavy cut (both distributed); the peel is an
+    * integer fixpoint on the collected ≤625-edge contracted graph
+    * (O(model-state) driver data, zero per-round job scheduling). The
+    * oracle runs the identical 8-round synchronous peel as three
+    * recursive CTE chains — fixed rounds on both sides make the result
+    * deterministic whether or not the peel has converged. [oracle]
+    */
+  def g6_kcore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val ew = tradeEdges(t).localCheckpoint(true)
+    val thrRow = ew.agg(expr("percentile(w, 0.75)").as("thr")).first()
+    val thr = if (thrRow.isNullAt(0)) Double.MaxValue else thrRow.getDouble(0)
+    val heavy = ew.filter(col("w") >= thr).filter(col("src") =!= col("dst"))
+    val und = heavy.select(col("src"), col("dst"), col("w"))
+      .union(heavy.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").cast("long").as("w"))
+    val edges = collectEdges(und)
+    val nations = collectNations(t)
+    def peel(k: Int): Set[Long] = {
+      var alive = nations.toSet
+      for (_ <- 0 until 8) {
+        val deg = edges
+          .filter { case (s, d, _) => alive(s) && alive(d) }
+          .groupBy(_._1).map { case (s, es) => (s, es.size) }
+        alive = alive.filter(n => deg.getOrElse(n, 0) >= k)
+      }
+      alive
+    }
+    val cores = Seq(1, 2, 3).map(peel)
+    nations.map { n =>
+      val flags = cores.map(_.contains(n))
+      (n, flags(0), flags(1), flags(2), flags.count(identity).toLong)
+    }.toSeq.toDF("nation", "in_core1", "in_core2", "in_core3", "coreness_capped")
+      .orderBy("nation")
+  }
+
+  /** DuckDB mirror of g6: same contraction/cut, three 8-round recursive
+    * synchronous-peel chains (degree counted against the SAME-iteration
+    * alive set, exactly like the driver-side fixpoint).
+    */
+  val g6_oracle: String = {
+    def chain(name: String, k: Int): String =
+      s"""$name AS (
+         |  SELECT 0 AS iter, CAST(n_nationkey AS BIGINT) AS nation FROM nation
+         |  UNION ALL
+         |  SELECT a.iter + 1, a.nation
+         |  FROM $name a
+         |  JOIN und u ON u.src = a.nation
+         |  JOIN $name b ON b.iter = a.iter AND b.nation = u.dst
+         |  WHERE a.iter < 8
+         |  GROUP BY a.iter, a.nation
+         |  HAVING COUNT(*) >= $k
+         |)""".stripMargin
+    s"""WITH RECURSIVE
+       |edw AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |heavy AS MATERIALIZED (
+       |  SELECT src, dst, w FROM (
+       |    SELECT src, dst, w, quantile_cont(w, 0.75) OVER () AS thr FROM edw)
+       |  WHERE w >= thr AND src <> dst),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT src, dst, w FROM heavy
+       |    UNION ALL SELECT dst AS src, src AS dst, w FROM heavy)
+       |  GROUP BY 1, 2),
+       |${chain("alive1", 1)},
+       |${chain("alive2", 2)},
+       |${chain("alive3", 3)}
+       |SELECT n.nation,
+       |  a1.nation IS NOT NULL AS in_core1,
+       |  a2.nation IS NOT NULL AS in_core2,
+       |  a3.nation IS NOT NULL AS in_core3,
+       |  CAST((CASE WHEN a1.nation IS NOT NULL THEN 1 ELSE 0 END) +
+       |       (CASE WHEN a2.nation IS NOT NULL THEN 1 ELSE 0 END) +
+       |       (CASE WHEN a3.nation IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS coreness_capped
+       |FROM (SELECT CAST(n_nationkey AS BIGINT) AS nation FROM nation) n
+       |LEFT JOIN (SELECT DISTINCT nation FROM alive1 WHERE iter = 8) a1
+       |  ON a1.nation = n.nation
+       |LEFT JOIN (SELECT DISTINCT nation FROM alive2 WHERE iter = 8) a2
+       |  ON a2.nation = n.nation
+       |LEFT JOIN (SELECT DISTINCT nation FROM alive3 WHERE iter = 8) a3
+       |  ON a3.nation = n.nation
+       |ORDER BY n.nation""".stripMargin
+  }
 }

@@ -398,6 +398,80 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** m8_audio_dedup — perceptual audio dedup for the media lake: a
+    * 60-bit SIGN FINGERPRINT (bit j = "is the decoded sample at frame
+    * 4·j positive") computed from the REAL `javax.sound` decode of each
+    * clip's WAV bytes, then an exact group-by on the fingerprint — two
+    * clips that differ only in loudness (amplitude) or duration
+    * (trailing frames past the probe window) collide, which is exactly
+    * the perceptual equivalence an audio dedup pass wants, while any
+    * waveform/phase difference separates them. Per group: clip count,
+    * keep-first representative, and the PCM bytes a content-addressed
+    * store reclaims (group total minus the representative's).
+    *
+    * Scale shape: m6's discipline — the decode runs in the narrow scan
+    * and only (8-byte fingerprint, byte count) leave the task; the
+    * group-by is linear in the lake, no pair join exists at all. The
+    * synth square wave makes every fingerprint closed-form from the
+    * asset id, so the oracle recomputes fingerprint AND reclaim without
+    * decoding a sample — any Spark-side decode asymmetry (endianness,
+    * sign, header skip) breaks the hash (m5's discipline, composed into
+    * dedup). [oracle]
+    */
+  def m8_audio_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(synthWav(id)))
+          val bytes = try ais.readAllBytes() finally ais.close()
+          val n = bytes.length / 2
+          var fp = 0L
+          var j = 0
+          while (j < 60) {
+            val i = 4 * j
+            val v = (((bytes(2 * i + 1) & 0xff) << 8) |
+              (bytes(2 * i) & 0xff)).toShort.toInt
+            if (v > 0) fp |= (1L << j)
+            j += 1
+          }
+          (id, fp, n.toLong * 2)
+        }
+      }.toDF("doc_id", "fingerprint", "pcm_bytes")
+    fps.groupBy("fingerprint").agg(
+        count(lit(1)).as("n_clips"),
+        min("doc_id").as("keep_doc"),
+        countDistinct("pcm_bytes").as("n_lengths"),
+        sum("pcm_bytes").cast("long").as("pcm_bytes_total"),
+        (sum("pcm_bytes") - expr("min_by(pcm_bytes, doc_id)")).cast("long")
+          .as("pcm_bytes_reclaimed"))
+      .orderBy("fingerprint")
+  }
+
+  /** DuckDB mirror of m8: fingerprint and sizes in closed form from the
+    * synth parameters (sample at frame i is +amp iff (i DIV half) is
+    * even; the probe window 4·j ≤ 236 < every clip's frame count).
+    */
+  val m8_oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    8 + (doc_id % 7) * 4 AS half,
+      |    800 + (doc_id % 5) * 80 AS n
+      |  FROM documents),
+      |js AS (SELECT unnest(range(0, 60)) AS j),
+      |fp AS (
+      |  SELECT doc_id, CAST(n * 2 AS BIGINT) AS pcm_bytes,
+      |    CAST(SUM(CASE WHEN ((4 * j // half) % 2) = 0
+      |      THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS fingerprint
+      |  FROM d CROSS JOIN js GROUP BY doc_id, n)
+      |SELECT fingerprint, COUNT(*) AS n_clips, MIN(doc_id) AS keep_doc,
+      |  COUNT(DISTINCT pcm_bytes) AS n_lengths,
+      |  CAST(SUM(pcm_bytes) AS BIGINT) AS pcm_bytes_total,
+      |  CAST(SUM(pcm_bytes) - min_by(pcm_bytes, doc_id) AS BIGINT)
+      |    AS pcm_bytes_reclaimed
+      |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
+
   /** m5_audio_features — waveform analytics end-to-end: every asset's
     * WAV bytes decode through the REAL javax.sound path inside the
     * mapPartitions batcher (decoder state per partition, iterator

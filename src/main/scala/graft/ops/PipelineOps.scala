@@ -1001,4 +1001,156 @@ object PipelineOps {
        |       ELSE (tot // 10) * n_hq_tokens // tot_hq * 10000 // n_hq_tokens
        |  END AS anneal_epochs_bp
        |FROM cells, tot ORDER BY source""".stripMargin
+
+  /** p5_curriculum — curriculum ordering + deterministic global
+    * shuffle: score every document's DIFFICULTY as its mean token
+    * rarity (rarity = 1e6 DIV corpus term count — rare vocabulary ⇒
+    * harder text; the t12 df-join class of vocabulary-sized join),
+    * split the corpus into four curriculum phases at the exact
+    * difficulty quartiles (a 1-row broadcast cut, t24's discipline),
+    * and assign each doc a sha-derived `shuffle_key` — the
+    * deterministic stand-in for "shuffle the corpus globally": sorting
+    * by (phase, shuffle_key) IS the easy-to-hard training order with
+    * uniform within-phase shuffling, reproducible across runs and
+    * engines. No global window anywhere: the order is carried as a sort
+    * KEY, never materialized as a rank (a row_number over the corpus
+    * would be a single-partition window at 100 TB; writers sort by the
+    * key instead — composes with t22's sharded manifest). [oracle]
+    */
+  def p5_curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(expr(graft.ops.TextOps.TOKENS)).as("tok"))
+      .persistTracked
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    val scored = toks.join(tf, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("1000000L DIV c_tok")).cast("long").as("rsum"))
+      .withColumn("difficulty_fp", expr("rsum DIV n_tokens"))
+    val cuts = scored.agg(
+      expr("percentile(difficulty_fp, 0.25d)").as("c1"),
+      expr("percentile(difficulty_fp, 0.50d)").as("c2"),
+      expr("percentile(difficulty_fp, 0.75d)").as("c3"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("phase",
+        when(col("difficulty_fp") <= col("c1"), lit(0L))
+          .when(col("difficulty_fp") <= col("c2"), lit(1L))
+          .when(col("difficulty_fp") <= col("c3"), lit(2L))
+          .otherwise(lit(3L)))
+      .withColumn("shuffle_key",
+        sha256PrefixLong(concat(lit("shuf"), col("doc_id").cast("string")), 12))
+      .select("doc_id", "n_tokens", "difficulty_fp", "phase", "shuffle_key")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of p5: same rarity sum, quartile cuts, and sha key. */
+  val p5_oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT tok, COUNT(*) AS c_tok FROM toks GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(1000000 // c_tok) AS BIGINT) AS rsum
+      |  FROM toks JOIN tf USING (tok) GROUP BY 1),
+      |d AS (
+      |  SELECT doc_id, n_tokens, rsum // n_tokens AS difficulty_fp
+      |  FROM scored),
+      |cuts AS (
+      |  SELECT quantile_cont(difficulty_fp, 0.25) AS c1,
+      |         quantile_cont(difficulty_fp, 0.50) AS c2,
+      |         quantile_cont(difficulty_fp, 0.75) AS c3
+      |  FROM d)
+      |SELECT doc_id, n_tokens, difficulty_fp,
+      |  CAST(CASE WHEN difficulty_fp <= c1 THEN 0
+      |            WHEN difficulty_fp <= c2 THEN 1
+      |            WHEN difficulty_fp <= c3 THEN 2
+      |            ELSE 3 END AS BIGINT) AS phase,
+      |  ('0x' || substr(sha256('shuf' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+      |    AS shuffle_key
+      |FROM d CROSS JOIN cuts
+      |ORDER BY doc_id""".stripMargin
+
+  private val DSIR_BUCKETS = 512L
+
+  /** t28_dsir — Data Selection via Importance Resampling (the DSIR
+    * recipe of Xie et al. 2023, arXiv:2302.03169) in fixed-point
+    * integers: hash every token into 512 feature buckets, estimate a
+    * TARGET distribution from the designated target sample (docs with
+    * doc_id % 13 = 0 — the "looks like my eval/domain data" reference
+    * set) and the RAW distribution from the whole corpus, weight each
+    * bucket by the add-one-smoothed ratio (c_target+1)·1e6 DIV
+    * (c_raw+1) — the fixed-point surrogate of DSIR's log-likelihood
+    * ratio, monotone in it per bucket — and score each document by its
+    * mean token-bucket weight. Selection = score ≥ the per-source mean
+    * score (an integer threshold from a |sources|-row aggregate).
+    *
+    * Scale shape: the bucket-weight table is BOUNDED at 512 rows
+    * (broadcast — never a vocabulary-sized join), the corpus is scanned
+    * twice (count pass, score pass — both partial-aggregate to
+    * doc/bucket granularity), and the per-source threshold is a 20-row
+    * broadcast, NOT a per-source window over the corpus (window-by-
+    * source is a skew trap at 20 sources × 100 TB). All arithmetic is
+    * integer, so the scores hash-match cross-engine. [oracle]
+    */
+  def t28_dsir(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        explode(expr(graft.ops.TextOps.TOKENS)).as("tok"))
+      .withColumn("bucket", pmod(sha256PrefixLong(col("tok"), 8), lit(DSIR_BUCKETS)))
+      .select("doc_id", "source", "bucket")
+      .persistTracked
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val tgt = toks.filter(col("doc_id") % 13 === 0)
+      .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    val weights = raw.join(tgt, Seq("bucket"), "left").select(col("bucket"),
+      expr("(coalesce(c_tgt, 0L) + 1L) * 1000000L DIV (c_raw + 1L)").as("w"))
+    val scored = toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").cast("long").as("wsum"))
+      .withColumn("score_fp", expr("wsum DIV n_tokens"))
+    val thr = scored.groupBy("source")
+      .agg(expr("sum(score_fp) DIV count(1)").as("thr"))
+    scored.join(broadcast(thr), Seq("source"))
+      .withColumn("selected", col("score_fp") >= col("thr"))
+      .select("doc_id", "source", "n_tokens", "score_fp", "selected")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of t28: same hash buckets, smoothing, and integer
+    * thresholds.
+    */
+  val t28_oracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(sha256(tok), 1, 8))::BIGINT % $DSIR_BUCKETS AS bucket
+       |  FROM toks),
+       |raw AS (SELECT bucket, COUNT(*) AS c_raw FROM b GROUP BY 1),
+       |tgt AS (SELECT bucket, COUNT(*) AS c_tgt FROM b
+       |        WHERE doc_id % 13 = 0 GROUP BY 1),
+       |w AS (
+       |  SELECT r.bucket,
+       |    (COALESCE(t.c_tgt, 0) + 1) * 1000000 // (r.c_raw + 1) AS w
+       |  FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket),
+       |scored AS (
+       |  SELECT doc_id, source, COUNT(*) AS n_tokens,
+       |    CAST(SUM(w.w) AS BIGINT) AS wsum
+       |  FROM b JOIN w ON w.bucket = b.bucket GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, source, n_tokens, wsum // n_tokens AS score_fp
+       |  FROM scored),
+       |thr AS (
+       |  SELECT source, CAST(SUM(score_fp) AS BIGINT) // COUNT(*) AS thr
+       |  FROM sc GROUP BY 1)
+       |SELECT sc.doc_id, sc.source, sc.n_tokens, sc.score_fp,
+       |  sc.score_fp >= thr.thr AS selected
+       |FROM sc JOIN thr ON thr.source = sc.source
+       |ORDER BY sc.doc_id""".stripMargin
 }

@@ -1257,4 +1257,65 @@ object Similarity {
        |FROM q JOIN u c ON c.vec_id <> q.query_id
        |WHERE round(list_dot_product(q.qunit, c.unit), 6) >= $RangeTau
        |ORDER BY q.query_id, c.vec_id""".stripMargin
+
+  /** s13_filtered_ann — metadata-filtered vector search (the vector-DB
+    * `filter:` clause; FAISS IDSelector / Milvus-Qdrant attribute
+    * filtering): top-5 cosine neighbors among only the corpus vectors
+    * whose `label` matches the query's — a PRE-filter, applied before
+    * ranking, so the contract is "the best k of the matching subset",
+    * not "the matching subset of the best k" (post-filter top-k returns
+    * fewer than k rows whenever the filter is selective; this never
+    * does, which is why production filtered search pre-filters).
+    *
+    * Scale shape: the label predicate rides the same one-pass corpus
+    * scan s1 uses — it lands in the broadcast-join condition, so a
+    * non-matching row dies at the probe without being scored, and with
+    * a label-partitioned/bucketed corpus layout it prunes entire files.
+    * k-selection through the native bounded heap; no post-hoc filter of
+    * a larger result. [oracle]
+    */
+  def s13_filtered_ann(spark: SparkSession, dir: String): DataFrame = {
+    val unit = withUnit(Tables(spark, dir).embeddings)
+      .select(col("vec_id"), col("label"), col("unit"))
+    val q = broadcast(unit.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("unit").as("qunit")))
+    val scored = unit.join(q,
+        col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("label"),
+        round(dot(col("qunit"), col("unit")), 6).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    graft.plans.TopKPerGroup
+      .topKPerGroup(scored, Seq("query_id"),
+        Seq(("cosine", false), ("neighbor_id", true)), 5)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of s13: same normalize→label-prefilter→dot→rank. */
+  val s13_oracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, label,
+      |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+      |  FROM v),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, unit AS qunit
+      |      FROM u WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    CAST(c.label AS BIGINT) AS label,
+      |    round(list_dot_product(q.qunit, c.unit), 6) AS cosine
+      |  FROM q JOIN u c ON c.vec_id <> q.query_id AND c.label = q.qlabel),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, label, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, label, cosine, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

@@ -590,4 +590,58 @@ object ModelQueries {
       |  n_missing = 0 AND n_unexpected = 0 AS passed
       |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
       |ORDER BY test""".stripMargin
+
+  /** a12_seeds — dbt-style SEED tables end-to-end (dbt parity beyond
+    * the reference, which has no seed concept): a version-controlled
+    * CSV lands on disk, `ModelEngine.loadSeeds` infers its schema from
+    * the header + values (Spark CSV inference), `seed` materializes it
+    * into the warehouse as a dependency-free root table, and a
+    * downstream model joins it against the warehouse's relational data
+    * (region/nation) — the reference-data enrichment pattern seeds
+    * exist for. The oracle reproduces the seed rows as an inline VALUES
+    * table and runs the same join, so the hash pins the whole
+    * CSV-parse → type-infer → materialize → join path. [oracle]
+    */
+  def a12_seeds(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val seedDir = java.nio.file.Files.createTempDirectory("graft_seeds").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(seedDir, "region_zones.csv"),
+      """r_name,zone,zone_rank
+        |AFRICA,south,3
+        |AMERICA,west,2
+        |ASIA,east,1
+        |EUROPE,west,2
+        |MIDDLE EAST,east,1
+        |""".stripMargin.getBytes("UTF-8"))
+    val engine = new ModelEngine(spark)
+    engine.seed(engine.loadSeeds(Seq(seedDir)), tmpWarehouse())
+    val models = ModelParser.parseModelFile(
+      """CREATE VIEW zone_nations AS
+        |  SELECT z.zone, CAST(z.zone_rank AS BIGINT) AS zone_rank,
+        |    COUNT(*) AS n_nations,
+        |    MIN(n.n_name) AS first_nation
+        |  FROM nation n
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  JOIN region_zones z ON r.r_name = z.r_name
+        |  GROUP BY z.zone, z.zone_rank
+        |""".stripMargin)
+    engine.run(models, tmpWarehouse())
+    spark.table("zone_nations").orderBy("zone")
+  }
+
+  /** DuckDB mirror of a12: the seed as an inline VALUES table. */
+  val a12_oracle: String =
+    """WITH region_zones(r_name, zone, zone_rank) AS (
+      |  VALUES ('AFRICA', 'south', 3), ('AMERICA', 'west', 2),
+      |         ('ASIA', 'east', 1), ('EUROPE', 'west', 2),
+      |         ('MIDDLE EAST', 'east', 1))
+      |SELECT z.zone, CAST(z.zone_rank AS BIGINT) AS zone_rank,
+      |  COUNT(*) AS n_nations,
+      |  MIN(n.n_name) AS first_nation
+      |FROM nation n
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |JOIN region_zones z ON r.r_name = z.r_name
+      |GROUP BY z.zone, z.zone_rank
+      |ORDER BY z.zone""".stripMargin
 }

@@ -540,6 +540,38 @@ object Oracles {
     // invariant oracle: exact group sizes + the sketch's rank-error
     // guarantee pinned TRUE — a quantile-sketch regression (wrong value,
     // broken merge) pushes a rank outside ±1/accuracy and breaks the hash
+    // ordered-set aggregate family off the same value histogram: the
+    // disc cut is integer cross-multiplied, cont is quantile_cont
+    "q73_ordered_set" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, qty, cnt,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM hist),
+        |disc AS (
+        |  SELECT l_returnflag, MIN(qty) AS p90_qty_disc FROM cum
+        |  WHERE cum * 10 >= tot * 9 GROUP BY 1),
+        |md AS (
+        |  SELECT l_returnflag, qty AS mode_qty FROM (
+        |    SELECT l_returnflag, qty,
+        |      row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY cnt DESC, qty ASC) AS rn
+        |    FROM hist) WHERE rn = 1),
+        |cont AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |    round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT c.l_returnflag, n_rows, median_qty, p25_qty, p90_qty_disc,
+        |  mode_qty
+        |FROM cont c JOIN disc USING (l_returnflag) JOIN md USING (l_returnflag)
+        |ORDER BY c.l_returnflag""".stripMargin,
+
     "q45_quantile_sketch" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -1286,4 +1286,47 @@ object Relational {
         }: _*)
       .orderBy("l_returnflag")
   }
+
+  /** q73_ordered_set — the ordered-set aggregate family
+    * (`percentile_disc` / `percentile_cont` / `mode`, SQL:2008 WITHIN
+    * GROUP) per return flag. Spark has no disc/mode ordered-set aggs,
+    * so both are computed from a VALUE HISTOGRAM: groupBy (flag,
+    * quantity) collapses the fact table to ≤ |flags|·|distinct qty|
+    * rows (≈150 at any SF — TPC-H quantity is 1..50), and the window
+    * passes (cumulative counts for percentile_disc's "least value with
+    * cume_dist ≥ p", frequency ranking for mode with a min-value tie
+    * break) run on that tiny frame — never a window over the fact
+    * table. percentile_cont(0.5) is Spark's exact `percentile`, which
+    * also partial-aggregates as a value-count map. The disc cut uses
+    * integer cross-multiplication (cum·10 ≥ tot·9), not a float
+    * cume_dist, so the cut row is engine-exact. [oracle]
+    */
+  def q73_ordered_set(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val hist = t.lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+      .persistTracked
+    val wCum = Window.partitionBy("l_returnflag").orderBy("qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("tot", sum("cnt").over(wTot))
+    val disc = cum.filter(col("cum") * 10 >= col("tot") * 9)
+      .groupBy("l_returnflag").agg(min("qty").as("p90_qty_disc"))
+    val mode = hist
+      .withColumn("rn", row_number().over(Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("qty").asc)))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("qty").as("mode_qty"))
+    val cont = t.lineitem.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n_rows"),
+      round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+      round(expr("percentile(l_quantity, 0.25)"), 6).as("p25_qty"))
+    cont.join(disc, Seq("l_returnflag")).join(mode, Seq("l_returnflag"))
+      .select("l_returnflag", "n_rows", "median_qty", "p25_qty",
+        "p90_qty_disc", "mode_qty")
+      .orderBy("l_returnflag")
+  }
 }

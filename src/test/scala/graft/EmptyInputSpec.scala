@@ -57,7 +57,11 @@ class EmptyInputSpec extends SparkSpec {
       // round-9 batch 2: span dedup, range search, communities,
       // two-phase anneal mix
       "d11_span_dedup", "s12_range_search", "g5_communities",
-      "p4_anneal_mix")
+      "p4_anneal_mix",
+      // round-9 batch 3: ordered-set aggs, filtered ANN, k-core, seeds,
+      // DSIR selection, curriculum order, audio dedup
+      "q73_ordered_set", "s13_filtered_ann", "g6_kcore", "a12_seeds",
+      "t28_dsir", "p5_curriculum", "m8_audio_dedup")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()
