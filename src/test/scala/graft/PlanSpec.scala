@@ -456,4 +456,56 @@ class PlanSpec extends SparkSpec {
     assert(nodeCount(plan, "Window") == 0,
       s"reassembly must be an aggregate, not a window:\n$plan")
   }
+
+  test("s13: filter rides the broadcast probe — no corpus shuffle, heap cut") {
+    val df = graft.ops.Similarity.s13_filtered_ann(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(nodeCount(plan, "BroadcastExchange") >= 1,
+      s"query side must broadcast:\n$plan")
+    // prefilter = join condition, not a post-rank filter: no corpus-wide
+    // exchange before the heap (only the <=k*|Q| survivors shuffle)
+    val exec = df.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(exec).size >= 2,
+      s"k-selection must use the bounded heap:\n$exec")
+  }
+
+  test("q73: windows run on the value histogram, never on the fact table") {
+    val lineitemRows = Tables(spark, sfDir).lineitem.count()
+    val read = recordsRead {
+      Relational.q73_ordered_set(spark, sfDir).collect()
+    }
+    // histogram pass + exact-percentile pass (plus tiny cached re-reads
+    // of the ~150-row histogram): if a window ever sorted the fact
+    // table, the shuffled-read side would balloon far past 2 passes
+    assert(read <= lineitemRows * 3 + 10000,
+      s"ordered-set aggs must read ~2 lineitem passes, read=$read rows=$lineitemRows")
+  }
+
+  test("t28: bucket weights and source thresholds broadcast; corpus tokenized once") {
+    val df = graft.ops.PipelineOps.t28_dsir(spark, sfDir)
+    val plan = formatted(df)
+    // the 512-row weight table and the |sources|-row threshold table
+    // both arrive broadcast — the corpus never shuffles for either join
+    assert(nodeCount(plan, "BroadcastExchange") >= 2,
+      s"weights and thresholds must broadcast:\n$plan")
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"token stream must come from the persisted frame, not rescans:\n$plan")
+  }
+
+  test("p5: quartile cuts broadcast; no global window orders the corpus") {
+    val plan = formatted(graft.ops.PipelineOps.p5_curriculum(spark, sfDir))
+    assert(nodeCount(plan, "Window") == 0,
+      s"curriculum order must be a sort KEY, not a rank window:\n$plan")
+    assert(nodeCount(plan, "BroadcastExchange") >= 1,
+      s"the 1-row cuts must broadcast onto the scored frame:\n$plan")
+  }
+
+  test("m8: audio dedup is scan + one fingerprint aggregate — no join at all") {
+    val plan = formatted(graft.ops.Multimodal.m8_audio_dedup(spark, sfDir))
+    assert(nodeCount(plan, "SortMergeJoin") == 0 &&
+      nodeCount(plan, "BroadcastHashJoin") == 0 &&
+      !plan.contains("CartesianProduct"),
+      s"perceptual groups collapse in one aggregate, no pair join:\n$plan")
+  }
 }
