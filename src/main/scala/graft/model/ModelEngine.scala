@@ -108,6 +108,38 @@ final class ModelEngine(spark: SparkSession) {
     saveState(models, warehouse) // completed build = valid state:modified base
   }
 
+  /** dbt-style model CONTRACTS (dbt parity beyond the reference): a
+    * declared (column, type, not-null) list enforced against the BUILT
+    * model — the type check reads the Catalyst-analyzed schema (no
+    * data pass), the not-null checks batch into ONE aggregate over the
+    * table (never a scan per constraint). Returns one verdict row per
+    * contracted column: (column, expected_type, actual_type, type_ok,
+    * null_violations, contract_ok).
+    */
+  def contractCheck(table: String,
+      contract: Seq[(String, String, Boolean)]): Seq[(String, String, String, Boolean, Long, Boolean)] = {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val df = spark.table(table)
+    val types = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val nnCols = contract.collect { case (c, _, true) if types.contains(c) => c }
+    val nulls: Map[String, Long] =
+      if (nnCols.isEmpty) Map.empty
+      else {
+        val aggs = nnCols.map(c =>
+          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        nnCols.zipWithIndex.map { case (c, i) =>
+          c -> (if (r.isNullAt(i)) 0L else r.getLong(i))
+        }.toMap
+      }
+    contract.map { case (c, expected, notNull) =>
+      val actual = types.getOrElse(c, "missing")
+      val typeOk = actual == expected
+      val nv = if (notNull) nulls.getOrElse(c, 0L) else 0L
+      (c, expected, actual, typeOk, nv, typeOk && nv == 0L)
+    }
+  }
+
   /** dbt-style SEEDS (a dbt-parity feature beyond the reference, which
     * has no seed concept): version-controlled CSV files materialized as
     * dependency-free ROOT tables before any model runs. The file stem

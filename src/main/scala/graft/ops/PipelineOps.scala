@@ -882,6 +882,62 @@ object PipelineOps {
       |WHERE s.iter = len(s.word)
       |ORDER BY s.word""".stripMargin
 
+  /** t29_fertility — tokenizer FERTILITY report per language (the
+    * standard multilingual tokenizer-eval metric: mean subword pieces
+    * per word instance — fertility ≫ 1 for a language means the vocab
+    * under-serves it and its documents pay more sequence length per
+    * word): t26's greedy segmentation supplies pieces-per-distinct-word,
+    * a (lang, word) count table weights it back to word INSTANCES, and
+    * the per-lang rollup emits instance counts, vocab size, fertility
+    * in permille, and the single-piece share (words the vocab covers
+    * whole). Integer-exact throughout. Scale shape: both legs run on
+    * word-granularity tables (t26's distinct-word discipline); the join
+    * is vocab-sized, never corpus-sized. [oracle]
+    */
+  def t29_fertility(spark: SparkSession, dir: String): DataFrame = {
+    val wp = t26_wordpiece(spark, dir).select("word", "n_pieces")
+    val lw = Tables(spark, dir).documents
+      .select(col("lang"), explode(expr(TextOps.TOKENS)).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    lw.join(wp, Seq("word"))
+      .groupBy("lang")
+      .agg(
+        sum("c").cast("long").as("n_words"),
+        countDistinct("word").as("n_vocab"),
+        sum(expr("c * n_pieces")).cast("long").as("n_pieces_total"),
+        sum(when(col("n_pieces") === 1L, col("c")).otherwise(lit(0L)))
+          .cast("long").as("n_single"))
+      .withColumn("fertility_permille",
+        expr("n_pieces_total * 1000L DIV n_words"))
+      .withColumn("single_piece_permille",
+        expr("n_single * 1000L DIV n_words"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB mirror of t29: t26's recursive segmentation as a CTE + the
+    * same instance-weighted rollup.
+    */
+  lazy val t29_oracle: String =
+    s"""WITH wp AS ($t26_oracle),
+       |lw AS (
+       |  SELECT lang, tok AS word, COUNT(*) AS c FROM (
+       |    SELECT lang,
+       |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |    FROM documents)
+       |  GROUP BY lang, tok)
+       |SELECT lang,
+       |  CAST(SUM(c) AS BIGINT) AS n_words,
+       |  COUNT(DISTINCT word) AS n_vocab,
+       |  CAST(SUM(c * n_pieces) AS BIGINT) AS n_pieces_total,
+       |  CAST(SUM(CASE WHEN n_pieces = 1 THEN c ELSE 0 END) AS BIGINT)
+       |    AS n_single,
+       |  CAST(SUM(c * n_pieces) AS BIGINT) * 1000 // CAST(SUM(c) AS BIGINT)
+       |    AS fertility_permille,
+       |  CAST(SUM(CASE WHEN n_pieces = 1 THEN c ELSE 0 END) AS BIGINT) * 1000
+       |    // CAST(SUM(c) AS BIGINT) AS single_piece_permille
+       |FROM lw JOIN wp USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- p3
 
   /** p3_temperature_mix — the temperature-scaled sampling PLAN (p2

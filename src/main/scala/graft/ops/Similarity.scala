@@ -1318,4 +1318,44 @@ object Similarity {
       |  FROM scored)
       |SELECT query_id, neighbor_id, label, cosine, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** s14_recall_eval — the ANN index-quality report: recall@5 of the
+    * LSH-bucketed index (s2) against the exact scan (s1), per query, in
+    * integer basis points. This is the operator an index DEPLOYMENT
+    * needs — the recall contract s3/s6/s9 carry as a spec invariant,
+    * turned into a first-class queryable report (run it after building
+    * an index, gate the rollout on the floor). Hit counting is an
+    * integer intersection of two ≤ k·|Q| result sets, so unlike the
+    * trained indexes the whole report is hash-exact cross-engine.
+    *
+    * Scale shape: both retrieval legs keep their own disciplines (s1
+    * one-scan broadcast probe, s2 bucket probe); the join/aggregate
+    * that follows sees only the ≤ k·|Q| ranked survivors. [oracle]
+    */
+  def s14_recall_eval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s1_ann_topk(spark, dir).select("query_id", "neighbor_id")
+    val lsh = s2_ann_lsh(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .withColumn("recall_bp", expr("n_hits * 10000L DIV n_exact"))
+      .orderBy("query_id")
+  }
+
+  /** DuckDB mirror of s14: both component oracles as CTEs + the same
+    * integer intersection count.
+    */
+  lazy val s14_oracle: String =
+    s"""WITH e AS ($s1_oracle),
+       |l AS ($s2_oracle)
+       |SELECT e.query_id, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 10000 // COUNT(*) AS recall_bp
+       |FROM e LEFT JOIN l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 }

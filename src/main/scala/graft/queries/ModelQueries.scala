@@ -644,4 +644,56 @@ object ModelQueries {
       |JOIN region_zones z ON r.r_name = z.r_name
       |GROUP BY z.zone, z.zone_rank
       |ORDER BY z.zone""".stripMargin
+
+  /** a13_contracts — dbt-style model CONTRACTS enforced at build: a
+    * model declares (column, type, not-null) and the engine grades the
+    * BUILT table against it — type verdicts from the Catalyst-analyzed
+    * schema (zero data passes), all not-null checks batched into one
+    * aggregate. The fixture model carries one deliberate violation of
+    * each kind: a double column contracted as bigint (type mismatch)
+    * and a masked column contracted not-null (data violation), so the
+    * entry pins both failure modes plus the passing case. [oracle]
+    */
+  def a13_contracts(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val engine = new ModelEngine(spark)
+    engine.run(ModelParser.parseModelFile(
+      """CREATE VIEW c_orders AS
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |         ELSE o_orderstatus END AS status_masked
+        |  FROM orders
+        |""".stripMargin), tmpWarehouse())
+    val contract = Seq(
+      ("o_orderkey", "bigint", true),
+      ("o_totalprice", "bigint", false), // deliberate: actual is double
+      ("status_masked", "string", true)) // deliberate: masked rows are null
+    import spark.implicits._
+    engine.contractCheck("c_orders", contract)
+      .map { case (c, exp, act, tok, nv, ok) => ("c_orders", c, exp, act, tok, nv, ok) }
+      .toDF("model", "col_name", "expected_type", "actual_type",
+        "type_ok", "null_violations", "contract_ok")
+      .orderBy("col_name")
+  }
+
+  /** DuckDB mirror of a13: the schema verdicts are static for the
+    * fixture model; the one data check recomputes the masked-null count.
+    */
+  val a13_oracle: String =
+    """WITH nv AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS n
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'c_orders' AS model, 'o_orderkey' AS col_name,
+      |    'bigint' AS expected_type, 'bigint' AS actual_type,
+      |    TRUE AS type_ok, CAST(0 AS BIGINT) AS null_violations,
+      |    TRUE AS contract_ok
+      |  UNION ALL
+      |  SELECT 'c_orders', 'o_totalprice', 'bigint', 'double',
+      |    FALSE, CAST(0 AS BIGINT), FALSE
+      |  UNION ALL
+      |  SELECT 'c_orders', 'status_masked', 'string', 'string',
+      |    TRUE, (SELECT n FROM nv), (SELECT n FROM nv) = 0)
+      |ORDER BY col_name""".stripMargin
 }

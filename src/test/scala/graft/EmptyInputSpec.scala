@@ -61,7 +61,9 @@ class EmptyInputSpec extends SparkSpec {
       // round-9 batch 3: ordered-set aggs, filtered ANN, k-core, seeds,
       // DSIR selection, curriculum order, audio dedup
       "q73_ordered_set", "s13_filtered_ann", "g6_kcore", "a12_seeds",
-      "t28_dsir", "p5_curriculum", "m8_audio_dedup")
+      "t28_dsir", "p5_curriculum", "m8_audio_dedup",
+      // round-9 batch 4: recall report, model contracts, fertility
+      "s14_recall_eval", "a13_contracts", "t29_fertility")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()

@@ -141,6 +141,51 @@ class Round9bOpsSpec extends SparkSpec {
       .toSeq == b.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_key"))).toSeq)
   }
 
+  test("s14: recall report counts the true s1∩s2 intersection") {
+    val rep = Similarity.s14_recall_eval(spark, sfDir).collect()
+    val exact = Similarity.s1_ann_topk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.s2_ann_lsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val hits = exact.filter(_._1 == q).count(lsh.contains)
+      assert(r.getAs[Long]("n_hits") == hits.toLong)
+      assert(r.getAs[Long]("recall_bp") ==
+        hits.toLong * 10000L / r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("recall_bp") >= 0L && r.getAs[Long]("recall_bp") <= 10000L)
+    }
+  }
+
+  test("a13: contracts grade type mismatch and null violations independently") {
+    val out = graft.queries.ModelQueries.a13_contracts(spark, sfDir).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out("o_orderkey").getAs[Boolean]("type_ok") &&
+      out("o_orderkey").getAs[Boolean]("contract_ok"))
+    assert(!out("o_totalprice").getAs[Boolean]("type_ok") &&
+      !out("o_totalprice").getAs[Boolean]("contract_ok"))
+    val masked = out("status_masked")
+    assert(masked.getAs[Boolean]("type_ok"),
+      "the masked column's TYPE is fine — only its nulls violate")
+    assert(masked.getAs[Long]("null_violations") > 0L &&
+      !masked.getAs[Boolean]("contract_ok"))
+  }
+
+  test("t29: fertility >= 1 piece/word and word totals tie to the corpus") {
+    val out = PipelineOps.t29_fertility(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("fertility_permille") >= 1000L,
+        "every word segments into at least one piece")
+      assert(r.getAs[Long]("n_single") <= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("n_pieces_total") >= r.getAs[Long]("n_words"))
+    }
+    val corpusTokens = Tables(spark, sfDir).documents
+      .select(explode(expr(graft.ops.TextOps.TOKENS)).as("t")).count()
+    assert(out.map(_.getAs[Long]("n_words")).sum == corpusTokens)
+  }
+
   test("m8: same-waveform clips collide, amplitude/duration do not separate") {
     val out = Multimodal.m8_audio_dedup(spark, sfDir).collect()
     // synth half-period has 7 classes -> exactly 7 perceptual groups
