@@ -30,7 +30,7 @@ object GraftCli {
 
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse {
-      System.err.println("usage: GraftCli check|run|test|docs [--project d] [--data d] [--warehouse d] [--fail-fast]")
+      System.err.println("usage: GraftCli check|run|seed|test|docs [--project d] [--data d] [--warehouse d] [--fail-fast]")
       sys.exit(2)
     }
     def flag(name: String): Option[String] =
@@ -56,6 +56,12 @@ object GraftCli {
     val allModels = resolve(project.models).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseModelFile)
     val tests = resolve(project.tests).flatMap(ModelParser.loadDir).flatMap(ModelParser.parseTestFile)
     val engine = new ModelEngine(spark)
+
+    // seeds are dependency-free roots: register their views up front so
+    // check/run/test can reference them; the `seed` command (and any
+    // build command) additionally materializes them into the warehouse
+    val seeds = engine.loadSeeds(resolve(project.seeds))
+    seeds.foreach { case (n, df) => df.createOrReplaceTempView(n) }
 
     // register only the source tables the project's DAG + tests actually
     // reference — registration costs a file listing + footer read per
@@ -114,10 +120,16 @@ object GraftCli {
         engine.checkTests(tests)
         0
       case "run" =>
+        engine.seed(seeds, warehouse)
         engine.run(models, warehouse)
         models.foreach(m => println(s"Ready ${m.name}"))
         0
+      case "seed" =>
+        engine.seed(seeds, warehouse)
+        seeds.foreach { case (n, _) => println(s"Seeded $n") }
+        0
       case "run-incremental" =>
+        engine.seed(seeds, warehouse)
         val status = engine.runIncremental(models, warehouse)
         status.toSeq.sortBy(_._1).foreach { case (m, s) => println(s"$m: $s") }
         0

@@ -92,6 +92,38 @@ class GraftCliSpec extends SparkSpec {
     assert(n > 1, s"recursive model should reach beyond the seed row, got $n")
   }
 
+  test("seed command: CSV seeds materialize and models/tests reference them") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cli_seed_").toString
+    Seq("models", "tests", "seeds").foreach(d => new java.io.File(s"$root/$d").mkdirs())
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/powersql.toml"),
+      """[project]
+        |name = "seed_spec"
+        |models = ["models"]
+        |tests = ["tests"]
+        |seeds = ["seeds"]
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/seeds/statuses.csv"),
+      "code,label\nO,open\nF,filled\nP,pending\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/models/m.sql"),
+      """CREATE VIEW order_labels AS
+        |SELECT s.label, COUNT(*) AS n
+        |FROM orders o JOIN statuses s ON o.o_orderstatus = s.code
+        |GROUP BY s.label;
+        |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/tests/t.sql"),
+      "ASSERT NOT EXISTS (SELECT * FROM order_labels WHERE n <= 0) AS 'labels non-empty';\n")
+    Tables(spark, sfDir).registerAll()
+    val wh = s"$root/wh"
+    assert(GraftCli.execute(spark, "seed", root, wh, failFast = false) == 0)
+    assert(GraftCli.execute(spark, "check", root, wh, failFast = false) == 0)
+    assert(GraftCli.execute(spark, "run", root, wh, failFast = false) == 0)
+    assert(GraftCli.execute(spark, "test", root, wh, failFast = false) == 0)
+    val labels = spark.table("order_labels").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set("open", "filled", "pending"))
+    assert(labels.values.forall(_ > 0))
+  }
+
   test("unknown command rejected") {
     assert(GraftCli.execute(spark, "explode", projectDir, "/tmp/x", failFast = false) == 2)
   }
