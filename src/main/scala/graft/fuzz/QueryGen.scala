@@ -4,8 +4,10 @@ package graft.fuzz
   * gate). 140 hand-written oracle entries can only catch the bug
   * classes somebody thought to write an entry for; this generator
   * samples the SUPPORTED SQL surface — scans, filters, expressions,
-  * inner/left joins, aggregates, HAVING, windows, set operations,
-  * scalar/IN subqueries, CTEs — as q41-discipline VERBATIM text: the
+  * inner/left joins and 3-table chains, aggregates, HAVING, windows
+  * (ranks, framed running sums, LAG), set operations, scalar/IN
+  * subqueries, correlated [NOT] EXISTS, CTEs — q41-discipline VERBATIM
+  * text: the
   * identical query string runs on Spark and on DuckDB and must produce
   * identical rows.
   *
@@ -79,9 +81,20 @@ object QueryGen {
       val jt = if (r.chance(30)) "LEFT JOIN" else "JOIN"
       // LEFT JOIN makes the right side nullable — still fine: NULLS
       // FIRST ordering and NULL-safe canonicalization cover it
-      Src(s"${a.name} $jt ${b.name} ON $on",
+      val two = Src(s"${a.name} $jt ${b.name} ON $on",
         a.intCols ++ b.intCols, a.strCols ++ b.strCols,
         a.unique ++ b.unique)
+      // 3-table chain when a second FK continues from the right table
+      // (lineitem→orders→customer, customer→nation→region, …): INNER
+      // only — a LEFT chain's null-extended middle would make the second
+      // ON condition engine-trickier than the bug class is worth
+      val next = joins.filter { case (x, _, _) => x.name == b.name }
+      if (jt == "JOIN" && next.nonEmpty && r.chance(40)) {
+        val (_, c, on2) = r.pick(next)
+        Src(s"${two.sql} JOIN ${c.name} ON $on2",
+          two.intCols ++ c.intCols, two.strCols ++ c.strCols,
+          two.unique ++ c.unique)
+      } else two
     } else {
       val t = r.pick(tables)
       Src(t.name, t.intCols, t.strCols, t.unique)
@@ -171,11 +184,16 @@ object QueryGen {
     val s = Src(t.name, t.intCols, t.strCols, t.unique)
     val part = r.pick(t.strCols ++ t.intCols)
     val ord = s"${intLeaf(r, s)} NULLS FIRST, ${t.unique.map(u => s"$u NULLS FIRST").mkString(", ")}"
-    val wfn = r.nextInt(4) match {
+    val wfn = r.nextInt(6) match {
       case 0 => s"ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $ord)"
       case 1 => s"RANK() OVER (PARTITION BY $part ORDER BY $ord)"
       case 2 => s"DENSE_RANK() OVER (PARTITION BY $part ORDER BY $ord)"
-      case _ => s"SUM(${intLeaf(r, s)}) OVER (PARTITION BY $part)"
+      case 3 => s"SUM(${intLeaf(r, s)}) OVER (PARTITION BY $part)"
+      // framed running sum / lag over the total order: the frame sees a
+      // deterministic row sequence, so the prefix sums are content-exact
+      case 4 => s"SUM(${intLeaf(r, s)}) OVER (PARTITION BY $part ORDER BY $ord " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      case _ => s"LAG(${intLeaf(r, s)}, 1) OVER (PARTITION BY $part ORDER BY $ord)"
     }
     val keys = t.unique.zipWithIndex.map { case (u, i) => s"$u AS c$i" }
     val n = t.unique.size + 1
@@ -206,11 +224,17 @@ object QueryGen {
       val e = if (r.chance(60)) intExpr(r, sa) else strExpr(r, sa)
       s"$e AS c$i"
     }
-    val sub =
-      if (r.chance(50))
+    val sub = r.nextInt(4) match {
+      case 0 =>
         s"$lk IN (SELECT $rk FROM ${b.name} WHERE ${pred(r, sb)})"
-      else
+      case 1 =>
         s"CAST($lk AS BIGINT) > (SELECT MIN(CAST($rk AS BIGINT)) FROM ${b.name} WHERE ${pred(r, sb)})"
+      // correlated [NOT] EXISTS — Catalyst's semi/anti decorrelation path
+      case 2 =>
+        s"EXISTS (SELECT 1 FROM ${b.name} WHERE $rk = $lk AND ${pred(r, sb)})"
+      case _ =>
+        s"NOT EXISTS (SELECT 1 FROM ${b.name} WHERE $rk = $lk AND ${pred(r, sb)})"
+    }
     val extra = if (r.chance(40)) s" AND ${pred(r, sa)}" else ""
     s"SELECT ${cols.mkString(", ")} FROM ${a.name} WHERE $sub$extra ${orderByAll(n)}${limit(r)}"
   }
