@@ -176,6 +176,71 @@ final class ModelEngine(spark: SparkSession) {
       spark.read.parquet(s"$warehouse/$name").createOrReplaceTempView(name)
     }
 
+  /** dbt-style SNAPSHOT (check strategy): SCD2-merge the source's
+    * current state into the warehouse snapshot table. First run opens
+    * every row at `asOf`; later runs compare every non-key column
+    * null-safely against the open version — changed keys get their open
+    * row closed (`valid_to = asOf`) and a new version opened, unchanged
+    * keys keep their row, and keys missing from the source stay open
+    * (dbt's default: no hard-delete invalidation). `asOf` is
+    * caller-supplied (dbt stamps wall-clock; an explicit version makes
+    * runs reproducible and testable).
+    *
+    * Scale shape: one key-keyed shuffle join between the OPEN slice and
+    * the source per run (history rows are unioned through untouched);
+    * the merged state lands at `wh/name.next` and swaps in via the
+    * Hadoop FileSystem (the sources/Snapshots.scala:20-25 discipline —
+    * never an overwrite of a path Spark is still lazily reading), so
+    * the same code runs on file:, hdfs:// and s3a:// warehouses.
+    * Returns the re-read snapshot table.
+    */
+  def snapshot(name: String, current: DataFrame, key: String, asOf: Long,
+               warehouse: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"$warehouse/$name"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val payload = current.columns.filterNot(_ == key).toSeq
+    val outCols = (current.columns.toSeq ++ Seq("valid_from", "valid_to", "is_current"))
+      .map(col)
+    val merged =
+      if (!fs.exists(hPath))
+        current.withColumn("valid_from", lit(asOf))
+          .withColumn("valid_to", lit(null).cast("bigint"))
+          .withColumn("is_current", lit(true))
+          .select(outCols: _*)
+      else {
+        val existing = spark.read.parquet(path)
+        val open = existing.filter(col("is_current"))
+        val closedHist = existing.filter(!col("is_current"))
+        // keys whose payload differs from the open version, null-safely
+        val changedKeys = open.as("c").join(current.as("n"),
+            col(s"c.$key") === col(s"n.$key"))
+          .filter(payload.map(p => !(col(s"c.$p") <=> col(s"n.$p"))).reduce(_ || _))
+          .select(col(s"c.$key").as(key))
+        val newKeys = current.select(key).except(open.select(key))
+        val toOpen = changedKeys.union(newKeys)
+        val opened = current.join(toOpen, Seq(key), "left_semi")
+          .withColumn("valid_from", lit(asOf))
+          .withColumn("valid_to", lit(null).cast("bigint"))
+          .withColumn("is_current", lit(true))
+          .select(outCols: _*)
+        val closedNow = open.join(changedKeys, Seq(key), "left_semi")
+          .withColumn("valid_to", lit(asOf))
+          .withColumn("is_current", lit(false))
+          .select(outCols: _*)
+        val keptOpen = open.join(changedKeys, Seq(key), "left_anti")
+          .select(outCols: _*)
+        closedHist.select(outCols: _*)
+          .union(keptOpen).union(closedNow).union(opened)
+      }
+    val next = new org.apache.hadoop.fs.Path(s"$path.next")
+    merged.write.mode("overwrite").parquet(next.toString)
+    fs.delete(hPath, true)
+    fs.rename(next, hPath)
+    spark.read.parquet(path)
+  }
+
   /** Own-definition hash per model — NO upstream chaining. The chained
     * hash (runIncremental) answers "must this model REBUILD" (an
     * upstream edit propagates); the definition hash answers "did a

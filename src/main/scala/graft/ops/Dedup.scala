@@ -1137,4 +1137,85 @@ object Dedup {
        |SELECT doc_a, doc_b, longest_span, n_shared_grams
        |FROM agged WHERE longest_span >= $SpanMin
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d12
+
+  private val LineTokens = 10 // non-overlapping segment width ("line" proxy)
+
+  /** d12_line_dedup — corpus-GLOBAL exact segment dedup with
+    * keep-first semantics (C4's "remove any line occurring more than
+    * once in the dataset" rule; the corpus has no newlines, so fixed
+    * non-overlapping 10-token segments stand in for lines, the same
+    * stand-in t20's chunker uses): every segment occurrence except its
+    * global first (smallest (doc_id, position)) is deleted, and each
+    * document is re-emitted as segment count, removed count, and the
+    * surviving text reassembled in position order.
+    *
+    * Differs from the rest of the family on purpose: d1 keys whole
+    * documents, d11 reports pair spans, t25 strips by per-doc heuristic
+    * — this is the global-frequency DESTRUCTIVE pass between them.
+    *
+    * Scale shape: one narrow scan explodes ≈ tokens/10 segment rows;
+    * the global first-owner is one hash `groupBy(segment)` min-aggregate
+    * (map-side partial combine does the heavy lifting — boilerplate
+    * segments collapse per partition before the exchange); the verdict
+    * join is segment-keyed, never all-pairs; reassembly buffers only one
+    * document's own segments (t25's array_sort discipline). At 100 TB
+    * the group key would be xxhash64(segment) — 8 bytes — with the same
+    * plan. Owner ordering is encoded as doc_id·10⁶ + position (exact
+    * while documents stay under 10⁷ tokens; a 100 TB corpus doc cap is
+    * orders of magnitude below that). [oracle]
+    */
+  def d12_line_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .withColumn("toks", expr(TextOps.TOKENS))
+      .filter(size(col("toks")) >= 1)
+    val segs = docs.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(ceil(size(toks) / $LineTokens.0) AS INT) - 1), " +
+          s"i -> struct(i AS idx, concat_ws(' ', slice(toks, i * $LineTokens + 1, $LineTokens)) AS seg))")).as("s"))
+      .select(col("doc_id"), col("s.idx").as("idx"), col("s.seg").as("seg"))
+      .withColumn("ord", col("doc_id") * lit(1000000L) + col("idx"))
+      .persistTracked
+    val firstOwner = segs.groupBy("seg").agg(min("ord").as("first_ord"))
+    segs.join(firstOwner, Seq("seg"))
+      .withColumn("keep", col("ord") === col("first_ord"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("keep"), 0L).otherwise(1L)).cast("long").as("n_removed"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(idx, seg) END)), x -> x.seg)"))
+          .as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of d12: identical segmentation, first-owner rule,
+    * and position-ordered reassembly.
+    */
+  val d12_oracle: String =
+    s"""WITH toksd AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+       |seg AS (
+       |  SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(len(toks) / $LineTokens.0) AS INT))) AS idx,
+       |    toks
+       |  FROM toksd),
+       |segs AS (
+       |  SELECT doc_id, idx,
+       |    array_to_string(toks[idx * $LineTokens + 1 : idx * $LineTokens + $LineTokens], ' ') AS seg,
+       |    doc_id * 1000000 + idx AS ord
+       |  FROM seg),
+       |first_owner AS (
+       |  SELECT seg, MIN(ord) AS first_ord FROM segs GROUP BY seg),
+       |flagged AS (
+       |  SELECT s.doc_id, s.idx, s.seg, s.ord = f.first_ord AS keep
+       |  FROM segs s JOIN first_owner f USING (seg))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       |  COALESCE(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE keep), '')
+       |    AS kept_text
+       |FROM flagged GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

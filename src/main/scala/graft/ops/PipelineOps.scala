@@ -1209,4 +1209,77 @@ object PipelineOps {
        |  sc.score_fp >= thr.thr AS selected
        |FROM sc JOIN thr ON thr.source = sc.source
        |ORDER BY sc.doc_id""".stripMargin
+
+  private val EpochCap = 4L       // max repetitions per source (Muennighoff cap)
+  private val BudgetNum = 37L     // training budget = 37/10 × corpus tokens
+  private val BudgetDen = 10L
+
+  /** p6_epoch_plan — data-constrained EPOCH allocation (the "how many
+    * times may each source repeat" plan of Muennighoff et al. 2023,
+    * arXiv:2305.16264, which p2/p3/p4 presuppose): the training budget
+    * (37/10 of the corpus) is split into an equal per-source token
+    * target, and each source covers its target by full epochs capped at
+    * 4 (beyond which repeated data stops helping) plus a partial-epoch
+    * remainder; target mass the cap forecloses is reported as
+    * `unmet_tokens` — the measured data-constraint shortfall a scaling
+    * decision reads. Integer arithmetic throughout (DIV/LEAST), so the
+    * plan is hash-exact cross-engine:
+    *
+    *   target  = (37·total) DIV (10·n_sources)
+    *   full    = LEAST(4, target DIV tokens_s)
+    *   partial = target − full·tokens_s  (0 when the cap binds)
+    *   planned = LEAST(target, 4·tokens_s);  unmet = target − planned
+    *
+    * Scale shape: one narrow token-count scan partial-aggregates to a
+    * |sources|-row frame; the total is a 1-row broadcast crossJoin; the
+    * corpus is never shuffled and never touched again — the plan the
+    * sampler (p2's ticket filter) would execute. [oracle]
+    */
+  def p6_epoch_plan(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).documents
+      .select(col("source"), expr(s"size(${TextOps.TOKENS})").cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("tokens"))
+      .persistTracked // |sources| rows — the total derives from it, not a 2nd scan
+    val tot = per.agg(sum("tokens").cast("long").as("total"),
+      count(lit(1)).as("n_src"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"($BudgetNum * total) DIV ($BudgetDen * n_src)"))
+      .withColumn("epochs_full",
+        least(lit(EpochCap), expr("target_tokens DIV tokens")))
+      .withColumn("partial_tokens",
+        when(col("epochs_full") < EpochCap,
+          col("target_tokens") - col("epochs_full") * col("tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("planned_tokens",
+        least(col("target_tokens"), lit(EpochCap) * col("tokens")))
+      .withColumn("unmet_tokens", col("target_tokens") - col("planned_tokens"))
+      .select("source", "n_docs", "tokens", "target_tokens", "epochs_full",
+        "partial_tokens", "planned_tokens", "unmet_tokens")
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of p6: identical integer plan arithmetic. */
+  val p6_oracle: String =
+    s"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+       |      AS tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(tokens) AS BIGINT) AS total, COUNT(*) AS n_src FROM per),
+       |plan AS (
+       |  SELECT source, n_docs, tokens,
+       |    ($BudgetNum * total) // ($BudgetDen * n_src) AS target_tokens,
+       |    LEAST($EpochCap, (($BudgetNum * total) // ($BudgetDen * n_src)) // tokens)
+       |      AS epochs_full
+       |  FROM per CROSS JOIN tot)
+       |SELECT source, n_docs, tokens, target_tokens, epochs_full,
+       |  CASE WHEN epochs_full < $EpochCap
+       |       THEN target_tokens - epochs_full * tokens ELSE 0 END AS partial_tokens,
+       |  LEAST(target_tokens, $EpochCap * tokens) AS planned_tokens,
+       |  target_tokens - LEAST(target_tokens, $EpochCap * tokens) AS unmet_tokens
+       |FROM plan
+       |ORDER BY source""".stripMargin
 }

@@ -696,4 +696,49 @@ object ModelQueries {
       |  SELECT 'c_orders', 'status_masked', 'string', 'string',
       |    TRUE, (SELECT n FROM nv), (SELECT n FROM nv) = 0)
       |ORDER BY col_name""".stripMargin
+
+  /** a14_snapshot — dbt-style SNAPSHOTS end-to-end (dbt parity beyond
+    * the reference, which rebuilds tables in place and keeps no
+    * history): snapshot a nation-derived source at version 100, mutate
+    * a deterministic fifth of the rows (every n_nationkey % 5 = 0 gets
+    * its zone bumped), snapshot again at version 200, and return the
+    * full SCD2 table. The hash pins all four merge verdicts at once —
+    * changed keys carry a CLOSED v1 row (valid_to=200) plus an OPEN v2
+    * row, unchanged keys keep their single open v1 row, and the
+    * write-next-then-swap protocol must round-trip the unchanged rows
+    * bit-exactly through the warehouse. The oracle reconstructs the
+    * same history in closed form from the two source states. [oracle]
+    */
+  def a14_snapshot(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).registerAll()
+    val wh = tmpWarehouse()
+    val engine = new ModelEngine(spark)
+    def state(bumped: Boolean) = spark.sql(
+      if (!bumped)
+        "SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS zone_key FROM nation"
+      else
+        """SELECT n_nationkey, n_name,
+          |  CAST(CASE WHEN n_nationkey % 5 = 0 THEN n_regionkey + 10
+          |            ELSE n_regionkey END AS BIGINT) AS zone_key
+          |FROM nation""".stripMargin)
+    engine.snapshot("nation_snap", state(bumped = false), "n_nationkey", 100L, wh)
+    engine.snapshot("nation_snap", state(bumped = true), "n_nationkey", 200L, wh)
+      .orderBy("n_nationkey", "valid_from")
+  }
+
+  /** DuckDB mirror of a14: the SCD2 history in closed form. */
+  val a14_oracle: String =
+    """WITH base AS (
+      |  SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS zone0,
+      |    n_nationkey % 5 = 0 AS chg
+      |  FROM nation)
+      |SELECT n_nationkey, n_name, zone0 AS zone_key,
+      |  CAST(100 AS BIGINT) AS valid_from,
+      |  CASE WHEN chg THEN CAST(200 AS BIGINT) END AS valid_to,
+      |  NOT chg AS is_current
+      |FROM base
+      |UNION ALL
+      |SELECT n_nationkey, n_name, zone0 + 10, CAST(200 AS BIGINT), NULL, TRUE
+      |FROM base WHERE chg
+      |ORDER BY n_nationkey, valid_from""".stripMargin
 }

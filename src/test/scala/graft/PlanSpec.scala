@@ -508,4 +508,33 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"perceptual groups collapse in one aggregate, no pair join:\n$plan")
   }
+
+  test("d12: segments explode once and dedup on the segment key — never all-pairs") {
+    val df = graft.ops.Dedup.d12_line_dedup(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"the corpus explodes into the persisted segment frame once:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"owner aggregate and verdict join must reuse the persisted segments:\n$plan")
+    // keep-first is a segment-keyed min-aggregate + equi-join, never a
+    // corpus-wide window (a global rank over 100 TB of segments)
+    assert(nodeCount(plan, "Window") == 0,
+      s"first ownership must be an aggregate, not a window:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("p6: the plan is aggregates only — the corpus is scanned once, never joined") {
+    val df = graft.ops.PipelineOps.p6_epoch_plan(spark, sfDir)
+    val plan = formatted(df)
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"one token-count scan feeds the |sources|-row plan:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the total must derive from the persisted per-source frame, not a 2nd scan:\n$plan")
+    assert(nodeCount(plan, "SortMergeJoin") == 0 && !plan.contains("CartesianProduct"),
+      s"the only join is the 1-row broadcast total:\n$plan")
+    assert(nodeCount(plan, "HashAggregate") >= 2,
+      s"per-source aggregate must run partial+final:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
 }
