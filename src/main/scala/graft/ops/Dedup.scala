@@ -1218,4 +1218,129 @@ object Dedup {
        |    AS kept_text
        |FROM flagged GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d13
+
+  /** d13_lsh_calibration — MinHash estimator calibration report: for
+    * every candidate pair the d2 banding surfaces, compare the
+    * signature's similarity ESTIMATE (matching components / k — the
+    * unbiased MinHash estimator) against the exact shingle Jaccard, and
+    * aggregate the error by exact-similarity decile. This is the
+    * measurement that justifies (k=64, 16×4 bands) before a 100 TB
+    * dedup run: the per-decile mean/max estimator error (theory:
+    * σ = √(s(1−s)/k) ≈ 62‰ at s=0.5) and the pair mass per decile that
+    * the S-curve admits. Run on a sample, read the report, THEN spend
+    * the cluster — the alternative is discovering a miscalibrated
+    * threshold after the run deleted 8% of the corpus.
+    *
+    * All arithmetic is integer permille (matches·1000 DIV k,
+    * inter·1000 DIV union), so the report is hash-exact cross-engine.
+    * Scale shape: d2's exactly — narrow signature pass, band groupBy
+    * with the bucket-size skew guard, within-bucket pairs only, and the
+    * report itself is a ≤11-row aggregate. [oracle]
+    */
+  def d13_lsh_calibration(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables(spark, dir).documents)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .persistTracked
+    val sig = sh.withColumn("sig",
+      graft.functions.HashExpressions.shaMinHash(col("shingles"), K))
+      .select("doc_id", "sig")
+      .persistTracked
+    val bandStructs = array((0 until BANDS).map { b =>
+      val key = concat_ws(",",
+        (0 until ROWS_PER_BAND).map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1)): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }: _*)
+    val exploded = sig
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persistTracked
+    val buckets = exploded.groupBy("band", "bkey").count()
+      .filter(col("count").between(2, 100)).select("band", "bkey")
+    val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
+    val cands = members.as("l")
+      .join(members.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("est_pm", expr(
+        s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) * 1000 DIV $K"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("exact_pm", expr("inter * 1000 DIV (n_a + n_b - inter)"))
+      .withColumn("abs_err_pm", abs(col("est_pm") - col("exact_pm")))
+      .groupBy(expr("exact_pm DIV 100").as("decile"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("sum(est_pm) DIV count(1)").as("mean_est_pm"),
+        expr("sum(exact_pm) DIV count(1)").as("mean_exact_pm"),
+        expr("sum(abs_err_pm) DIV count(1)").as("mean_abs_err_pm"),
+        max("abs_err_pm").as("max_abs_err_pm"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB mirror of d13: d2's signature/banding SQL, the same
+    * estimator and decile arithmetic (SQL generated from the shared
+    * constants — the 64 per-component equality terms are spelled out).
+    */
+  lazy val d13_oracle: String = {
+    val minExprs = (0 until K)
+      .map(k => s"MIN((${minhashA(k)} * h + ${minhashB(k)}) % $MINHASH_P) AS m$k")
+      .mkString(",\n      ")
+    val bandRows = (0 until BANDS).map { b =>
+      val key = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS bkey FROM sig"
+    }.mkString("\n      UNION ALL ")
+    val eqTerms = (0 until K)
+      .map(k => s"CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |    ELSE [array_to_string(toks, ' ')] END) AS shingles
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents)),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |sig AS (
+       |  SELECT doc_id,
+       |      $minExprs
+       |  FROM hashed GROUP BY doc_id),
+       |exploded AS (
+       |      $bandRows),
+       |buckets AS (
+       |  SELECT band, bkey FROM exploded GROUP BY band, bkey
+       |  HAVING COUNT(*) BETWEEN 2 AND 100),
+       |members AS (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
+       |cand AS (
+       |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM members l JOIN members r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    ($eqTerms) * 1000 // $K AS est_pm,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000
+       |      // (len(sa.shingles) + len(sb.shingles)
+       |          - len(list_intersect(sa.shingles, sb.shingles))) AS exact_pm
+       |  FROM cand
+       |  JOIN sig a ON a.doc_id = id_a
+       |  JOIN sig b ON b.doc_id = id_b
+       |  JOIN sh sa ON sa.doc_id = id_a
+       |  JOIN sh sb ON sb.doc_id = id_b)
+       |SELECT exact_pm // 100 AS decile,
+       |  COUNT(*) AS n_pairs,
+       |  CAST(SUM(est_pm) // COUNT(*) AS BIGINT) AS mean_est_pm,
+       |  CAST(SUM(exact_pm) // COUNT(*) AS BIGINT) AS mean_exact_pm,
+       |  CAST(SUM(abs(est_pm - exact_pm)) // COUNT(*) AS BIGINT) AS mean_abs_err_pm,
+       |  CAST(MAX(abs(est_pm - exact_pm)) AS BIGINT) AS max_abs_err_pm
+       |FROM scored GROUP BY 1 ORDER BY decile""".stripMargin
+  }
 }

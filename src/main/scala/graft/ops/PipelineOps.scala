@@ -1282,4 +1282,91 @@ object PipelineOps {
        |  target_tokens - LEAST(target_tokens, $EpochCap * tokens) AS unmet_tokens
        |FROM plan
        |ORDER BY source""".stripMargin
+
+  private val CtxLen = 256L // tokens per packed training context
+
+  /** p7_pack_chunks — sequence PACKING manifest (the concatenate-then-
+    * chunk step that turns a filtered corpus into fixed-length training
+    * contexts, GPT-style): documents are placed in a deterministic
+    * sha-shuffled order within their t22 shard, concatenated, and cut
+    * into 256-token contexts. Per shard the manifest reports what the
+    * trainer needs to size the run — context count (= ceil(tokens/256)),
+    * pad waste in the final context, how many documents CROSS a context
+    * boundary (the attention-mask/document-boundary loss the packing
+    * trades for zero padding), and packing density (docs per context,
+    * permille). Order and placement derive from sha256, so the manifest
+    * is reproducible across runs, engines, and cluster sizes — t22's
+    * placement discipline extended from shards to positions.
+    *
+    * Scale shape: one narrow scan (doc_id, length, keys); the only wide
+    * stages are the per-shard cumulative-sum window and the 32-row
+    * aggregate. The window partitions by shard — shard count is the
+    * parallelism knob (a 100 TB run uses ~100k shards so each window
+    * partition is a few GB; the arithmetic is shard-local either way).
+    * Payload text never moves: packing is planned over lengths, and the
+    * trainer's writer streams text into the planned positions. [oracle]
+    */
+  def p7_pack_chunks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+      .select(
+        pmod(sha256PrefixLong(col("doc_id").cast("string"), 15), lit(SHARDS))
+          .as("shard"),
+        col("doc_id"),
+        expr(s"cast(size(${TextOps.TOKENS}) as bigint)").as("len"),
+        sha256PrefixLong(concat(lit("pack"), col("doc_id").cast("string")), 12)
+          .as("pos_key"))
+      .filter(col("len") >= 1)
+    val w = Window.partitionBy("shard")
+      .orderBy(col("pos_key").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_end", sum("len").over(w))
+      .withColumn("chunk_first", expr(s"(cum_end - len) DIV $CtxLen"))
+      .withColumn("chunk_last", expr(s"(cum_end - 1) DIV $CtxLen"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("len").cast("long").as("n_tokens"),
+        expr(s"(sum(len) + ${CtxLen - 1}) DIV $CtxLen").as("n_chunks"),
+        expr(s"((sum(len) + ${CtxLen - 1}) DIV $CtxLen) * $CtxLen - sum(len)")
+          .as("pad_tokens"),
+        sum(when(col("chunk_last") > col("chunk_first"), 1L).otherwise(0L))
+          .cast("long").as("n_boundary_docs"))
+      .withColumn("docs_per_chunk_pm", expr("n_docs * 1000 DIV n_chunks"))
+      .orderBy("shard")
+  }
+
+  /** DuckDB mirror of p7: same sha placement, window cumsum, chunk
+    * arithmetic.
+    */
+  val p7_oracle: String =
+    s"""WITH docs AS (
+       |  SELECT
+       |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $SHARDS
+       |      AS shard,
+       |    doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+       |      AS len,
+       |    ('0x' || substr(sha256('pack' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+       |      AS pos_key
+       |  FROM documents
+       |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1),
+       |placed AS (
+       |  SELECT shard, doc_id, len,
+       |    SUM(len) OVER (PARTITION BY shard ORDER BY pos_key, doc_id
+       |                   ROWS UNBOUNDED PRECEDING) AS cum_end
+       |  FROM docs)
+       |SELECT shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |  CAST((SUM(len) + ${CtxLen - 1}) // $CtxLen AS BIGINT) AS n_chunks,
+       |  CAST(((SUM(len) + ${CtxLen - 1}) // $CtxLen) * $CtxLen - SUM(len) AS BIGINT)
+       |    AS pad_tokens,
+       |  CAST(SUM(CASE WHEN (cum_end - 1) // $CtxLen > (cum_end - len) // $CtxLen
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+       |  CAST(COUNT(*) * 1000 // ((SUM(len) + ${CtxLen - 1}) // $CtxLen) AS BIGINT)
+       |    AS docs_per_chunk_pm
+       |FROM placed GROUP BY shard ORDER BY shard""".stripMargin
 }

@@ -609,4 +609,87 @@ object TextOps {
       |  CAST(SUM(bf) AS BIGINT) AS removed_chunks,
       |  CAST(SUM(CASE WHEN bf = 1 THEN ctoks ELSE 0 END) AS BIGINT) AS removed_tokens
       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t30
+
+  private val Top2Max = 200L // ‰ of tokens the top 2-gram may cover
+  private val Dup5Max = 150L // ‰ of tokens duplicate 5-grams may cover
+
+  /** t30_repetition_filter — within-document repetition quality rules
+    * (the Gopher filter family, Rae et al. 2021 §A1.1: "fraction of
+    * characters in the most frequent n-gram" / "fraction of characters
+    * in duplicate n-grams"), in token-permille form so both engines
+    * agree bit-exactly: the top OVERLAPPING 2-gram may cover at most
+    * 20% of a doc's tokens (count·2·1000 DIV n_toks), and occurrences
+    * of 5-grams BEYOND their first may cover at most 15%
+    * ((occ−distinct)·5·1000 DIV n_toks). Docs violating either rule are
+    * the loop-generated / template-spam class that survives t2's
+    * length/ratio checks and d1/d4's cross-doc dedup — repetition is
+    * WITHIN the doc, so no dedup family sees it.
+    *
+    * Scale shape: two narrow n-gram explodes, each collapsed by
+    * (doc_id, gram) with map-side partial aggregation, then per-doc
+    * aggregates; both per-doc frames and the final join are doc_id-keyed
+    * (co-partitioned, no extra exchange beyond the gram collapse). No
+    * window, no pair join — linear in corpus tokens. [oracle]
+    */
+  def t30_repetition_filter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), expr(TOKENS).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_toks"))
+      .filter(col("n_toks") >= 1)
+      .persistTracked // feeds both gram passes + the verdict join: tokenize once
+    def grams(n: Int) = docs
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n THEN
+           |  transform(sequence(0, size(toks) - $n),
+           |    i -> concat_ws(' ', slice(toks, i + 1, $n)))
+           |ELSE array() END""".stripMargin)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val top2 = grams(2).groupBy("doc_id").agg(max("c").as("c2max"))
+    val dup5 = grams(5).groupBy("doc_id")
+      .agg((sum("c") - count(lit(1))).as("dup5occ"))
+    docs.select("doc_id", "n_toks")
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .withColumn("top2_pm", expr("coalesce(c2max, CAST(0 AS BIGINT)) * 2000 DIV n_toks"))
+      .withColumn("dup5_pm", expr("coalesce(dup5occ, CAST(0 AS BIGINT)) * 5000 DIV n_toks"))
+      .withColumn("keep", col("top2_pm") <= Top2Max && col("dup5_pm") <= Dup5Max)
+      .select("doc_id", "n_toks", "top2_pm", "dup5_pm", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of t30: same n-gram extraction and permille rules. */
+  val t30_oracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |docs AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks
+       |  FROM tok WHERE len(toks) >= 1),
+       |g2 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS g
+       |  FROM docs WHERE len(toks) >= 2),
+       |top2 AS (
+       |  SELECT doc_id, MAX(c) AS c2max FROM (
+       |    SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+       |  GROUP BY doc_id),
+       |g5 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+       |    i -> array_to_string(toks[i : i + 4], ' '))) AS g
+       |  FROM docs WHERE len(toks) >= 5),
+       |dup5 AS (
+       |  SELECT doc_id, CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup5occ FROM (
+       |    SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, g)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_toks,
+       |  CAST(COALESCE(c2max, 0) * 2000 // n_toks AS BIGINT) AS top2_pm,
+       |  CAST(COALESCE(dup5occ, 0) * 5000 // n_toks AS BIGINT) AS dup5_pm,
+       |  COALESCE(c2max, 0) * 2000 // n_toks <= $Top2Max
+       |    AND COALESCE(dup5occ, 0) * 5000 // n_toks <= $Dup5Max AS keep
+       |FROM docs d
+       |LEFT JOIN top2 USING (doc_id)
+       |LEFT JOIN dup5 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -524,6 +524,39 @@ class PlanSpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("t30: repetition rules are doc-keyed aggregates — no window, no pair join") {
+    val df = graft.ops.TextOps.t30_repetition_filter(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(nodeCount(plan, "Window") == 0,
+      s"per-doc gram stats are aggregates, not windows:\n$plan")
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"the corpus tokenizes once into the persisted frame:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"both gram passes and the verdict join reuse the tokenized frame:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("p7: packing plans over lengths — one scan, one per-shard window, no payload shuffle") {
+    val df = graft.ops.PipelineOps.p7_pack_chunks(spark, sfDir)
+    val plan = formatted(df)
+    assert(nodeCount(plan, "Scan parquet") == 1,
+      s"one narrow scan of (doc_id, text-length):\n$plan")
+    assert(nodeCount(plan, "Window") == 1,
+      s"exactly the per-shard cumulative sum:\n$plan")
+    assert(!plan.contains("CartesianProduct") && nodeCount(plan, "SortMergeJoin") == 0,
+      s"packing never joins:\n$plan")
+  }
+
+  test("d13: calibration pairs come from LSH buckets, never an all-pairs product") {
+    val df = graft.ops.Dedup.d13_lsh_calibration(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("InMemoryTableScan"),
+      s"signatures and shingles are computed once and reused across the joins:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("p6: the plan is aggregates only — the corpus is scanned once, never joined") {
     val df = graft.ops.PipelineOps.p6_epoch_plan(spark, sfDir)
     val plan = formatted(df)
