@@ -1343,4 +1343,242 @@ object Dedup {
        |  CAST(MAX(abs(est_pm - exact_pm)) AS BIGINT) AS max_abs_err_pm
        |FROM scored GROUP BY 1 ORDER BY decile""".stripMargin
   }
+
+  /** d2's oracle-exact banding on sha-based signatures: (band, joined
+    * component string) keys, the 2..100 bucket-size skew guard, within-
+    * bucket ordered pairs. Factored for the entries that reuse the
+    * verified candidate set (d14's policy audit).
+    */
+  private def lshCandidatesSha(sig: DataFrame): DataFrame = {
+    val bandStructs = array((0 until BANDS).map { b =>
+      val key = concat_ws(",",
+        (0 until ROWS_PER_BAND).map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1)): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }: _*)
+    val exploded = sig
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persistTracked
+    val buckets = exploded.groupBy("band", "bkey").count()
+      .filter(col("count").between(2, 100)).select("band", "bkey")
+    val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
+    members.as("l")
+      .join(members.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- d14
+
+  /** d14_retention_policies — dedup RETENTION-POLICY audit: given the
+    * verified near-dup pairs (d2's LSH candidates at exact Jaccard
+    * ≥ 700‰), compare what three standard policies would keep —
+    * `keep_first` (smallest doc_id wins: the C4/stream discipline),
+    * `keep_longest` (more tokens wins: maximize retained mass), and
+    * `keep_best` (higher stopword-permille quality wins: t2/t19's
+    * naturalness signal) — reporting per policy the docs and tokens
+    * dropped, kept, and the kept set's mean quality. Dedup debates are
+    * retention-policy debates: the pair set is identical, only the
+    * survivor rule differs, and this report is how a data team chooses
+    * BEFORE the run deletes the corpus. A doc is dropped iff it loses to
+    * some verified neighbor (the greedy one-pass rule every production
+    * dedup applies); ties break to the smaller doc_id surviving.
+    *
+    * All arithmetic is integer permille. Scale shape: d2's exactly for
+    * the pair set (bucketed LSH, never all-pairs); the policy audit adds
+    * one loser-explode over the PAIR table (3 rows per pair), a distinct
+    * doc-keyed collapse, and a 3-row aggregate joined against 1-row
+    * corpus totals. [oracle]
+    */
+  def d14_retention_policies(spark: SparkSession, dir: String): DataFrame = {
+    val base = withShingles(Tables(spark, dir).documents)
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("quality", expr(
+        s"size(filter(toks, x -> x IN (${TextOps.STOPWORDS_SQL}))) * 1000 DIV greatest(n_toks, 1)"))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"),
+        col("n_toks"), col("quality"))
+      .persistTracked
+    val sig = base.withColumn("sig",
+      graft.functions.HashExpressions.shaMinHash(col("shingles"), K))
+      .select("doc_id", "sig")
+    val cands = lshCandidatesSha(sig)
+    val stats = base.select("doc_id", "n_toks", "quality")
+    val pairs = cands
+      .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(expr("inter * 1000 DIV (n_a + n_b - inter) >= 700"))
+      .select("id_a", "id_b")
+      .join(stats.select(col("doc_id").as("id_a"), col("n_toks").as("len_a"), col("quality").as("q_a")), Seq("id_a"))
+      .join(stats.select(col("doc_id").as("id_b"), col("n_toks").as("len_b"), col("quality").as("q_b")), Seq("id_b"))
+    val losers = pairs.select(explode(array(
+      struct(lit("keep_first").as("policy"), col("id_b").as("loser")),
+      struct(lit("keep_longest").as("policy"), expr(
+        "CASE WHEN len_a < len_b THEN id_a WHEN len_b < len_a THEN id_b ELSE id_b END").as("loser")),
+      struct(lit("keep_best").as("policy"), expr(
+        "CASE WHEN q_a < q_b THEN id_a WHEN q_b < q_a THEN id_b ELSE id_b END").as("loser"))
+    )).as("pl")).select(col("pl.policy"), col("pl.loser")).distinct()
+    val totals = stats.agg(
+      count(lit(1)).as("total_docs"),
+      sum("n_toks").cast("long").as("total_tokens"),
+      sum("quality").cast("long").as("total_quality"))
+    losers
+      .join(stats.withColumnRenamed("doc_id", "loser"), Seq("loser"))
+      .groupBy("policy")
+      .agg(
+        count(lit(1)).as("n_dropped"),
+        sum("n_toks").cast("long").as("tokens_dropped"),
+        sum("quality").cast("long").as("q_dropped"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("policy"),
+        col("n_dropped"),
+        col("tokens_dropped"),
+        (col("total_docs") - col("n_dropped")).as("n_kept"),
+        (col("total_tokens") - col("tokens_dropped")).as("tokens_kept"),
+        expr("(total_quality - q_dropped) DIV (total_docs - n_dropped)")
+          .as("kept_quality_pm"))
+      .orderBy("policy")
+  }
+
+  /** DuckDB mirror of d14: d2's signature/banding CTEs, the same
+    * verify threshold, loser rules, and kept-set arithmetic.
+    */
+  lazy val d14_oracle: String = {
+    val minExprs = (0 until K)
+      .map(k => s"MIN((${minhashA(k)} * h + ${minhashB(k)}) % $MINHASH_P) AS m$k")
+      .mkString(",\n      ")
+    val bandRows = (0 until BANDS).map { b =>
+      val key = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS bkey FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+       |      ELSE [array_to_string(toks, ' ')] END) AS shingles,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(len(list_filter(toks, x -> x IN (${TextOps.STOPWORDS_SQL}))) AS BIGINT)
+       |      * 1000 // greatest(CAST(len(toks) AS BIGINT), 1) AS quality
+       |  FROM tok),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM base)),
+       |sig AS (
+       |  SELECT doc_id,
+       |      $minExprs
+       |  FROM hashed GROUP BY doc_id),
+       |exploded AS (
+       |      $bandRows),
+       |buckets AS (
+       |  SELECT band, bkey FROM exploded GROUP BY band, bkey
+       |  HAVING COUNT(*) BETWEEN 2 AND 100),
+       |members AS (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
+       |cand AS (
+       |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM members l JOIN members r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b, sa.n_toks AS len_a, sb.n_toks AS len_b,
+       |         sa.quality AS q_a, sb.quality AS q_b
+       |  FROM cand
+       |  JOIN base sa ON sa.doc_id = id_a
+       |  JOIN base sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) * 1000
+       |    // (len(sa.shingles) + len(sb.shingles)
+       |        - len(list_intersect(sa.shingles, sb.shingles))) >= 700),
+       |losers AS (
+       |  SELECT DISTINCT policy, loser FROM (
+       |    SELECT 'keep_first' AS policy, id_b AS loser FROM pairs
+       |    UNION ALL
+       |    SELECT 'keep_longest',
+       |      CASE WHEN len_a < len_b THEN id_a WHEN len_b < len_a THEN id_b ELSE id_b END
+       |    FROM pairs
+       |    UNION ALL
+       |    SELECT 'keep_best',
+       |      CASE WHEN q_a < q_b THEN id_a WHEN q_b < q_a THEN id_b ELSE id_b END
+       |    FROM pairs)),
+       |totals AS (
+       |  SELECT COUNT(*) AS total_docs, CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       |         CAST(SUM(quality) AS BIGINT) AS total_quality
+       |  FROM base)
+       |SELECT policy,
+       |  COUNT(*) AS n_dropped,
+       |  CAST(SUM(b.n_toks) AS BIGINT) AS tokens_dropped,
+       |  CAST(total_docs - COUNT(*) AS BIGINT) AS n_kept,
+       |  CAST(total_tokens - SUM(b.n_toks) AS BIGINT) AS tokens_kept,
+       |  CAST((total_quality - SUM(b.quality)) // (total_docs - COUNT(*)) AS BIGINT)
+       |    AS kept_quality_pm
+       |FROM losers JOIN base b ON b.doc_id = loser
+       |CROSS JOIN totals
+       |GROUP BY policy, total_docs, total_tokens, total_quality
+       |ORDER BY policy""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d15
+
+  /** d15_incremental_dedup — dedup the DELTA against yesterday's corpus
+    * without rescanning it: the existing corpus (even doc_ids stand in
+    * for "already ingested") is reduced to its 32-byte sha256 digest
+    * index, and each incoming increment doc (odd doc_ids) is graded
+    * `dup_of_index` (its digest already exists), `dup_in_increment`
+    * (an earlier increment doc — smaller doc_id — has the same digest:
+    * keep-first WITHIN the delta, d1's discipline), or `new`. This is
+    * the only dedup shape that works operationally at 100 TB: a daily
+    * crawl drop joins digests against the standing index — the old
+    * corpus's TEXT is never read again, only its digest table (which a
+    * real deployment keeps materialized; q65's streaming dedup-INDEX is
+    * the continuous version of the same contract).
+    *
+    * Scale shape: one corpus scan splitting into the two sides, digests
+    * computed in the narrow pass; the index side carries (digest) only,
+    * the increment side (doc_id, digest, n_toks); one digest-keyed
+    * left-semi-shaped join + one digest groupBy for the within-delta
+    * first owner. Nothing wider than 32-byte keys ever shuffles. [oracle]
+    */
+  def d15_incremental_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), sha2(col("text"), 256).as("dg"),
+        expr(s"cast(size(${TextOps.TOKENS}) as bigint)").as("n_toks"))
+      .persistTracked // one scan feeds both sides
+    val index = docs.filter(col("doc_id") % 2 === 0).select(col("dg")).distinct()
+    val inc = docs.filter(col("doc_id") % 2 === 1)
+    val firstOwner = inc.groupBy("dg").agg(min("doc_id").as("first_id"))
+    inc
+      .join(index.withColumn("in_index", lit(true)), Seq("dg"), "left")
+      .join(firstOwner, Seq("dg"))
+      .withColumn("verdict",
+        when(col("in_index"), "dup_of_index")
+          .when(col("doc_id") > col("first_id"), "dup_in_increment")
+          .otherwise("new"))
+      .select("doc_id", "n_toks", "verdict")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of d15: same digest split, index join, first-owner
+    * rule.
+    */
+  val d15_oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, sha256(text) AS dg,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+      |      AS n_toks
+      |  FROM documents),
+      |idx AS (SELECT DISTINCT dg FROM docs WHERE doc_id % 2 = 0),
+      |inc AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+      |first_owner AS (SELECT dg, MIN(doc_id) AS first_id FROM inc GROUP BY dg)
+      |SELECT i.doc_id, i.n_toks,
+      |  CASE WHEN idx.dg IS NOT NULL THEN 'dup_of_index'
+      |       WHEN i.doc_id > f.first_id THEN 'dup_in_increment'
+      |       ELSE 'new' END AS verdict
+      |FROM inc i
+      |LEFT JOIN idx ON idx.dg = i.dg
+      |JOIN first_owner f ON f.dg = i.dg
+      |ORDER BY i.doc_id""".stripMargin
 }

@@ -1369,4 +1369,153 @@ object PipelineOps {
        |  CAST(COUNT(*) * 1000 // ((SUM(len) + ${CtxLen - 1}) // $CtxLen) AS BIGINT)
        |    AS docs_per_chunk_pm
        |FROM placed GROUP BY shard ORDER BY shard""".stripMargin
+
+  // Train/val/test thresholds in permille of the sha ticket space.
+  private val TrainPm = 900L
+  private val ValPm = 950L
+
+  /** p8_split_assign — leakage-safe train/val/test assignment: the
+    * split unit is the EXACT-DUPLICATE GROUP (d1's sha256(text)
+    * identity), not the document, so byte-identical copies can never
+    * straddle train and test — the most common eval-contamination
+    * failure is train/test leakage through duplicates the splitter
+    * never saw as related. Every member of a group shares its text,
+    * hence its group ticket (sha of the group key), hence its split —
+    * leakage-free BY CONSTRUCTION, and the manifest still reports the
+    * measured `leaked_groups` count (a computed 0, not an assertion) so
+    * a regression in the grouping key is caught, not assumed away.
+    * 90/5/5 via sha permille tickets: deterministic across runs,
+    * engines, and cluster sizes (t15's reproducibility discipline).
+    *
+    * Scale shape: one narrow scan (doc_id, sha, length); the split
+    * column is a per-row hash, the report is a 3-row aggregate plus a
+    * 1-row leak/total aggregate broadcast onto it. Near-dup-level
+    * leakage safety composes the same way with d6's cluster labels as
+    * the group key — the exact-group key here keeps the oracle
+    * hash-checkable. [oracle]
+    */
+  def p8_split_assign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
+    val docs = Tables(spark, dir).documents
+      .select(
+        col("doc_id"),
+        sha2(col("text"), 256).as("gkey"),
+        expr(s"cast(size(${TextOps.TOKENS}) as bigint)").as("len"))
+      .withColumn("ticket",
+        pmod(sha256PrefixLong(concat(lit("split"), col("gkey")), 15), lit(1000L)))
+      .withColumn("split",
+        when(col("ticket") < TrainPm, "train")
+          .when(col("ticket") < ValPm, "val")
+          .otherwise("test"))
+      .persistTracked // feeds the per-split report AND the leak audit
+    // 1-row totals + measured leakage (groups seen in >1 split)
+    val totals = docs.groupBy("gkey")
+      .agg(countDistinct("split").as("n_splits"), count(lit(1)).as("n"))
+      .agg(
+        sum("n").cast("long").as("total_docs"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).cast("long")
+          .as("leaked_groups"))
+    docs.groupBy("split")
+      .agg(
+        countDistinct("gkey").as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum("len").cast("long").as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .withColumn("docs_pm", expr("n_docs * 1000 DIV total_docs"))
+      .select("split", "n_groups", "n_docs", "n_tokens", "docs_pm", "leaked_groups")
+      .orderBy("split")
+  }
+
+  /** DuckDB mirror of p8: same sha group key, ticket, thresholds. */
+  val p8_oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, sha256(text) AS gkey,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+       |      AS len,
+       |    ('0x' || substr(sha256('split' || sha256(text)), 1, 15))::BIGINT % 1000
+       |      AS ticket
+       |  FROM documents),
+       |assigned AS (
+       |  SELECT *, CASE WHEN ticket < $TrainPm THEN 'train'
+       |                 WHEN ticket < $ValPm THEN 'val'
+       |                 ELSE 'test' END AS split
+       |  FROM docs),
+       |totals AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS total_docs,
+       |    CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS leaked_groups
+       |  FROM (SELECT gkey, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS n
+       |        FROM assigned GROUP BY gkey))
+       |SELECT split,
+       |  CAST(COUNT(DISTINCT gkey) AS BIGINT) AS n_groups,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(*) * 1000 // total_docs AS BIGINT) AS docs_pm,
+       |  leaked_groups
+       |FROM assigned CROSS JOIN totals
+       |GROUP BY split, total_docs, leaked_groups
+       |ORDER BY split""".stripMargin
+
+  /** p9_dataset_card — the per-source DATA CARD a corpus release ships
+    * with (Datasheets-for-Datasets condensed to the measurable rows):
+    * document and token mass, mean document length, the exact-duplicate
+    * rate (docs that are a non-first occurrence of their sha256 group,
+    * d1's canonical-owner rule — measured against the WHOLE corpus, so
+    * a source full of copies of another source's docs is charged for
+    * them), the t2 quality-pass rate, and language coverage. One table
+    * a reviewer reads to decide whether a source belongs in the mix —
+    * the summary every component operator in this family feeds.
+    *
+    * Scale shape: one narrow scan; the duplicate verdict needs one
+    * digest-keyed groupBy (32-byte keys) joined back doc-keyed; the
+    * report is a |sources|-row aggregate. All permille integer. [oracle]
+    */
+  def p9_dataset_card(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        sha2(col("text"), 256).as("dg"),
+        expr(s"cast(size(${TextOps.TOKENS}) as bigint)").as("n_toks"),
+        expr(s"size(filter(${TextOps.TOKENS}, x -> x IN (${TextOps.STOPWORDS_SQL})))")
+          .as("n_stop"))
+      .persistTracked // feeds the owner groupBy AND the per-source report
+    val owner = docs.groupBy("dg").agg(min("doc_id").as("first_id"))
+    docs
+      .join(owner, Seq("dg"))
+      .withColumn("is_dup", (col("doc_id") > col("first_id")).cast("long"))
+      .withColumn("q_pass",
+        (col("n_toks").between(5, 1000) && col("n_stop") > 0).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").cast("long").as("n_tokens"),
+        expr("sum(n_toks) DIV count(1)").as("mean_doc_tokens"),
+        expr("sum(is_dup) * 1000 DIV count(1)").as("dup_doc_pm"),
+        expr("sum(q_pass) * 1000 DIV count(1)").as("quality_pass_pm"),
+        countDistinct("lang").as("n_langs"))
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of p9: same digest-owner rule, t2 quality flag,
+    * permille arithmetic.
+    */
+  val p9_oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, lang, sha256(text) AS dg,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+       |      AS n_toks,
+       |    CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+       |      x -> x IN (${TextOps.STOPWORDS_SQL}))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |owner AS (SELECT dg, MIN(doc_id) AS first_id FROM docs GROUP BY dg)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_toks) // COUNT(*) AS BIGINT) AS mean_doc_tokens,
+       |  CAST(SUM(CASE WHEN doc_id > first_id THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+       |    AS BIGINT) AS dup_doc_pm,
+       |  CAST(SUM(CASE WHEN n_toks BETWEEN 5 AND 1000 AND n_stop > 0 THEN 1 ELSE 0 END)
+       |    * 1000 // COUNT(*) AS BIGINT) AS quality_pass_pm,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |FROM docs JOIN owner USING (dg)
+       |GROUP BY source ORDER BY source""".stripMargin
 }

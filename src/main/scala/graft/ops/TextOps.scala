@@ -19,6 +19,11 @@ object TextOps {
 
   private val STOPWORDS = "'the','a','of','and','to','in'"
 
+  /** The stopword list as a SQL IN-list, shared with the dedup family's
+    * quality-aware retention policies (d14).
+    */
+  private[ops] def STOPWORDS_SQL: String = STOPWORDS
+
   /** t2_quality — quality-scoring signals per document. Integer-valued
     * outputs only (SURVEY §4: cross-engine float discipline).
     */
@@ -692,4 +697,87 @@ object TextOps {
        |LEFT JOIN top2 USING (doc_id)
        |LEFT JOIN dup5 USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t31
+
+  // Pattern classes restricted to the regex subset Java and RE2 parse
+  // identically (char classes, bounded repeats, \b, alternation — no
+  // lookaround, no backrefs), so the scrub is engine-portable by
+  // construction.
+  private val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val Ipv4Pat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val LongIdPat = "\\b[0-9]{9,}\\b"
+  private val DenyTerms = Seq("customer", "supplier") // org-specific scrub list
+  private val DenyPat = s"\\b(${DenyTerms.mkString("|")})\\b"
+
+  /** t31_pii_redact — pattern-based PII/sensitive-term scrubbing with
+    * per-class accounting (the pre-release redaction pass every public
+    * corpus ships through; the class list mirrors what C4/Dolma-style
+    * pipelines scrub): emails, IPv4 addresses, long digit runs (ids),
+    * plus a broadcast org-specific deny-term list. Each class is counted
+    * BEFORE rewrite, then replaced in a fixed class order
+    * (email→ip→id→term — the order is part of the contract, since an
+    * earlier rewrite can destroy a later pattern's match), and the doc's
+    * size delta is reported. `clean` = no class matched, the fast-path
+    * predicate a pipeline uses to skip rewriting untouched docs.
+    *
+    * The regex classes never fire on this synthetic corpus (zero digits
+    * or @-signs exist — counts are honestly zero and oracle-checked so);
+    * the deny-term class is live here, and the regex classes are
+    * spec-checked on constructed fixtures carrying real emails/IPs/ids.
+    *
+    * Scale shape: one narrow scan, per-row regex work only — zero
+    * shuffles, zero joins; codegen'd `regexp_extract_all`/
+    * `regexp_replace` keep it inside WholeStageCodegen. The rewrite cost
+    * is the regex engine's, linear in corpus bytes. [oracle]
+    */
+  def t31_pii_redact(spark: SparkSession, dir: String): DataFrame =
+    // Column-API regexp functions throughout: an expr()-embedded '\b'
+    // would be eaten by SQL string-literal unescaping and silently
+    // diverge from the Column-API rewrite below.
+    Tables(spark, dir).documents
+      .withColumn("n_email",
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).cast("long"))
+      .withColumn("n_longid",
+        size(regexp_extract_all(col("text"), lit(LongIdPat), lit(0))).cast("long"))
+      .withColumn("n_deny",
+        size(regexp_extract_all(col("text"), lit(DenyPat), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+              Ipv4Pat, "<IP>"),
+            LongIdPat, "<ID>"),
+          DenyPat, "<TERM>"))
+      .select(
+        col("doc_id"), col("n_email"), col("n_ipv4"), col("n_longid"), col("n_deny"),
+        length(col("text")).cast("long").as("n_chars_orig"),
+        length(col("redacted")).cast("long").as("n_chars_redacted"),
+        (col("n_email") + col("n_ipv4") + col("n_longid") + col("n_deny") === 0L).as("clean"))
+      .orderBy("doc_id")
+
+  /** DuckDB mirror of t31: same patterns, same class order ('g' = RE2's
+    * replace-all, matching Spark's regexp_replace default).
+    */
+  val t31_oracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$Ipv4Pat')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text, '$LongIdPat')) AS BIGINT) AS n_longid,
+       |  CAST(len(regexp_extract_all(text, '$DenyPat')) AS BIGINT) AS n_deny,
+       |  CAST(length(text) AS BIGINT) AS n_chars_orig,
+       |  CAST(length(
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$EmailPat', '<EMAIL>', 'g'),
+       |      '$Ipv4Pat', '<IP>', 'g'),
+       |      '$LongIdPat', '<ID>', 'g'),
+       |      '$DenyPat', '<TERM>', 'g')) AS BIGINT) AS n_chars_redacted,
+       |  len(regexp_extract_all(text, '$EmailPat'))
+       |    + len(regexp_extract_all(text, '$Ipv4Pat'))
+       |    + len(regexp_extract_all(text, '$LongIdPat'))
+       |    + len(regexp_extract_all(text, '$DenyPat')) = 0 AS clean
+       |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -557,6 +557,69 @@ class PlanSpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("t31: redaction is one narrow codegen pass — no shuffle but the output sort") {
+    val df = graft.ops.TextOps.t31_pii_redact(spark, sfDir)
+    val plan = formatted(df)
+    assert(nodeCount(plan, "Scan parquet") == 1)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-row regex work must not shuffle:\n$plan")
+    assert(nodeCount(plan, "Window") == 0 && !plan.contains("SortMergeJoin"))
+    // all four count + rewrite expressions sit in Projects directly over
+    // the scan (codegen'd builtins, no UDF barrier node)
+    assert(plan.contains("regexp_replace") && plan.contains("regexp_extract_all"),
+      s"the regex pipeline is projection work over the scan:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ArrowEvalPython"))
+  }
+
+  test("p8: split manifest is one narrow scan + aggregates, totals broadcast") {
+    val df = graft.ops.PipelineOps.p8_split_assign(spark, sfDir)
+    val plan = formatted(df)
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"the corpus is read once into the persisted assigned frame:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"report and leak audit reuse the assigned frame:\n$plan")
+    assert(nodeCount(plan, "BroadcastExchange") >= 1,
+      s"the 1-row totals frame broadcasts onto the 3-row report:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("d14: policy audit inherits d2's bucketed candidates — never all-pairs") {
+    val df = graft.ops.Dedup.d14_retention_policies(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("InMemoryTableScan"),
+      s"stats and shingles come from the one persisted base frame:\n$plan")
+    assert(nodeCount(plan, "BroadcastExchange") >= 1,
+      s"corpus totals broadcast onto the 3-row policy report:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("d15: only 32-byte digests shuffle — one scan, digest-keyed joins, no text movement") {
+    val df = graft.ops.Dedup.d15_incremental_dedup(spark, sfDir)
+    val plan = formatted(df)
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"one scan feeds both the index and increment sides:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"both sides read the persisted digest frame:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the join keys are the digests: no exchange ever hashes on `text`
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#")),
+      s"only 32-byte digests shuffle, never document text:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("p9: the data card is one scan + a digest groupBy + a sources-row aggregate") {
+    val df = graft.ops.PipelineOps.p9_dataset_card(spark, sfDir)
+    val plan = formatted(df)
+    assert(nodeCount(plan, "Scan parquet") <= 1)
+    assert(plan.contains("InMemoryTableScan"),
+      s"owner groupBy and report reuse the persisted narrow frame:\n$plan")
+    assert(nodeCount(plan, "Window") == 0 && !plan.contains("CartesianProduct"))
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("p6: the plan is aggregates only — the corpus is scanned once, never joined") {
     val df = graft.ops.PipelineOps.p6_epoch_plan(spark, sfDir)
     val plan = formatted(df)
