@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Caching.PersistSyntax
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -522,4 +523,69 @@ object GraphOps {
        |  ON a3.nation = n.nation
        |ORDER BY n.nation""".stripMargin
   }
+
+  // ---------------------------------------------------------------- g7
+
+  /** g7_degree_report — the trade graph's per-node degree/strength
+    * profile: out/in degree (distinct counterparties) and out/in
+    * strength (summed lineitem weight), plus each nation's share of
+    * total trade volume in permille. The first thing an analyst reads
+    * before any of g1–g6 — hub/periphery structure, weight skew, and
+    * (operationally) whether a skew guard is needed before running the
+    * heavier graph passes.
+    *
+    * Scale shape: tradeEdges' two fact joins + groupBy are the whole
+    * cost (shared with every g-entry); the report is two ≤625-row
+    * aggregates on the contracted frame, full-outer-joined per nation
+    * with a 1-row total broadcast. [oracle]
+    */
+  def g7_degree_report(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ed = tradeEdges(t).persistTracked // both degree passes read it
+    val out = ed.groupBy(col("src").as("nation"))
+      .agg(count(lit(1)).as("out_deg"), sum("w").cast("long").as("out_w"))
+    val in = ed.groupBy(col("dst").as("nation"))
+      .agg(count(lit(1)).as("in_deg"), sum("w").cast("long").as("in_w"))
+    val total = ed.agg(sum("w").cast("long").as("total_w"))
+    t.nation.select(col("n_nationkey").cast("long").as("nation"))
+      .join(broadcast(out), Seq("nation"), "left")
+      .join(broadcast(in), Seq("nation"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("nation"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        expr("(coalesce(out_w, 0) + coalesce(in_w, 0)) * 1000 DIV (2 * total_w)")
+          .as("volume_pm"))
+      .orderBy("nation")
+  }
+
+  /** DuckDB mirror of g7: g1's tradeEdges CTE + the same degree and
+    * permille arithmetic.
+    */
+  val g7_oracle: String =
+    """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |      JOIN customer c ON o.o_custkey = c.c_custkey
+      |      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |      GROUP BY 1, 2),
+      |o AS (SELECT src AS nation, COUNT(*) AS out_deg, CAST(SUM(w) AS BIGINT) AS out_w
+      |      FROM e GROUP BY src),
+      |i AS (SELECT dst AS nation, COUNT(*) AS in_deg, CAST(SUM(w) AS BIGINT) AS in_w
+      |      FROM e GROUP BY dst),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM e)
+      |SELECT CAST(n.n_nationkey AS BIGINT) AS nation,
+      |  CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+      |  CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+      |  COALESCE(out_w, 0) AS out_w,
+      |  COALESCE(in_w, 0) AS in_w,
+      |  CAST((COALESCE(out_w, 0) + COALESCE(in_w, 0)) * 1000 // (2 * total_w)
+      |    AS BIGINT) AS volume_pm
+      |FROM nation n
+      |LEFT JOIN o ON o.nation = n.n_nationkey
+      |LEFT JOIN i ON i.nation = n.n_nationkey
+      |CROSS JOIN t
+      |ORDER BY nation""".stripMargin
 }

@@ -1358,4 +1358,69 @@ object Similarity {
        |FROM e LEFT JOIN l
        |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  // ---------------------------------------------------------------- s15
+
+  private val KnnK = 3
+
+  /** s15_knn_join — corpus-internal kNN-GRAPH construction: every
+    * vector's top-3 nearest bucketmates by exact cosine, via the
+    * hyperplane-LSH candidate generator d5/d8 share. The kNN graph is
+    * the substrate of graph-based curation (SemDeDup's cluster step,
+    * density/novelty scoring, graph-connectivity pruning) — d5 finds
+    * the closest PAIRS corpus-wide, s15 gives EVERY doc its
+    * neighborhood. Vectors in dropped buckets (singletons or above the
+    * skew cap) have no rows — the same admission contract as d5, stated
+    * rather than hidden.
+    *
+    * Scale shape: one normalize+bucket pass (persisted), bucket-local
+    * directed candidates only — rows × avg-bucket-size, never corpus² —
+    * and the per-vector top-3 cut runs on the native bounded-heap
+    * TopKPerGroup operator (one partial+final pass, no global sort, no
+    * rank window materializing every candidate). [oracle]
+    */
+  def s15_knn_join(spark: SparkSession, dir: String): DataFrame = {
+    val unit = withUnit(Tables(spark, dir).embeddings)
+    val bucketed = withHyperplaneBucket(unit, planes = 8, seed = 7L)
+      .persistTracked
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val members = bucketed
+      .withColumn("_bcnt", count(lit(1)).over(wB))
+      .filter(col("_bcnt").between(2, graft.ops.Dedup.EmbedMaxBucket))
+      .drop("_bcnt")
+    val cands = members.as("l")
+      .join(members.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") =!= col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("vec_id"), col("r.vec_id").as("neighbor"),
+        round(dot(col("l.unit"), col("r.unit")), 6).as("cosine"))
+    graft.plans.TopKPerGroup
+      .topKPerGroup(cands, Seq("vec_id"),
+        Seq(("cosine", false), ("neighbor", true)), KnnK)
+      .orderBy(col("vec_id").asc, col("cosine").desc, col("neighbor").asc)
+  }
+
+  /** DuckDB mirror of s15: identical buckets and admission window,
+    * directed candidates, QUALIFY top-3 with the same tiebreak.
+    */
+  lazy val s15_oracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+       |  FROM v),
+       |b AS (
+       |  SELECT vec_id, unit, ${bucketSql(8, 7L, "unit")} AS bucket FROM u),
+       |ok AS (
+       |  SELECT bucket FROM b GROUP BY bucket
+       |  HAVING COUNT(*) BETWEEN 2 AND ${graft.ops.Dedup.EmbedMaxBucket}),
+       |m AS (SELECT b.* FROM b JOIN ok USING (bucket))
+       |SELECT l.vec_id AS vec_id, r.vec_id AS neighbor,
+       |  round(list_dot_product(l.unit, r.unit), 6) AS cosine
+       |FROM m l JOIN m r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+       |QUALIFY row_number() OVER (PARTITION BY l.vec_id
+       |  ORDER BY cosine DESC, neighbor ASC) <= $KnnK
+       |ORDER BY l.vec_id ASC, cosine DESC, neighbor ASC""".stripMargin
 }

@@ -620,6 +620,31 @@ class PlanSpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("s15: knn graph cuts per-vector on the native bounded heap, no rank window") {
+    val df = graft.ops.Similarity.s15_knn_join(spark, sfDir)
+    val plan = formatted(df)
+    assert(plan.contains("TopKPerGroup"),
+      s"the per-vector cut is the native operator:\n$plan")
+    // the only Window is the bucket-size skew guard, never a rank over candidates
+    assert(!plan.contains("row_number"),
+      s"no rank window materializes the candidate set:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("g7: the degree report's wide work is the shared contraction only") {
+    val df = graft.ops.GraphOps.g7_degree_report(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the only product is the 1-row total broadcast:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"degree passes and the total reuse the persisted contracted frame:\n$plan")
+    assert(nodeCount(plan, "SortMergeJoin") == 0,
+      s"the ≤625-row report side joins broadcast:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
   test("p6: the plan is aggregates only — the corpus is scanned once, never joined") {
     val df = graft.ops.PipelineOps.p6_epoch_plan(spark, sfDir)
     val plan = formatted(df)

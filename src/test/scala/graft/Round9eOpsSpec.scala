@@ -164,6 +164,34 @@ class Round9eOpsSpec extends SparkSpec {
     assert(out("copies") == 666L, "2 of 3 docs are non-first occurrences")
   }
 
+  test("s15: every emitted vector gets at most k neighbors, ranked by cosine") {
+    val rows = graft.ops.Similarity.s15_knn_join(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (v, ns) =>
+      assert(ns.length <= 3, s"vec $v has ${ns.length} neighbors")
+      val cos = ns.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"vec $v neighbors must be cosine-descending")
+      assert(!ns.exists(_.getAs[Long]("neighbor") == v), "no self-loops")
+    }
+  }
+
+  test("g7: degree report is conservation-exact against the edge aggregate") {
+    val t = Tables(spark, sfDir)
+    val rows = graft.ops.GraphOps.g7_degree_report(spark, sfDir).collect()
+    assert(rows.length == t.nation.count())
+    val outW = rows.map(_.getAs[Long]("out_w")).sum
+    val inW = rows.map(_.getAs[Long]("in_w")).sum
+    assert(outW == inW, "every edge's weight counts once per direction")
+    val li = t.lineitem.count()
+    assert(outW == li, "trade volume equals the lineitem row count")
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("volume_pm")
+      assert(pm >= 0 && pm <= 1000)
+    }
+  }
+
   test("d14: policy audit is conserving and bounded on real data") {
     val total = Tables(spark, sfDir).documents.count()
     val rows = Dedup.d14_retention_policies(spark, sfDir).collect()
