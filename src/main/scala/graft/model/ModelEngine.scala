@@ -153,15 +153,21 @@ final class ModelEngine(spark: SparkSession) {
     dirs.flatMap { d =>
       val p = java.nio.file.Paths.get(d)
       if (!java.nio.file.Files.exists(p)) Seq.empty
-      else java.nio.file.Files.walk(p).iterator().asScala
-        .filter(f => f.toString.endsWith(".csv") &&
-          java.nio.file.Files.isRegularFile(f))
-        .toSeq.sortBy(_.toString)
-        .map { f =>
+      else {
+        // Files.walk holds directory handles until closed — materialize
+        // the listing under Using so repeated engine runs don't leak fds
+        val files = scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+          _.iterator().asScala
+            .filter(f => f.toString.endsWith(".csv") &&
+              java.nio.file.Files.isRegularFile(f))
+            .toSeq
+        }
+        files.sortBy(_.toString).map { f =>
           val stem = f.getFileName.toString.stripSuffix(".csv")
           (stem, spark.read.option("header", "true")
             .option("inferSchema", "true").csv(f.toString))
         }
+      }
     }
   }
 
@@ -192,15 +198,47 @@ final class ModelEngine(spark: SparkSession) {
     * Hadoop FileSystem (the sources/Snapshots.scala:20-25 discipline —
     * never an overwrite of a path Spark is still lazily reading), so
     * the same code runs on file:, hdfs:// and s3a:// warehouses.
-    * Returns the re-read snapshot table.
+    * Crash safety: the swap renames the live table ASIDE (`name.old`)
+    * before renaming `name.next` into place, and entry-time recovery
+    * rolls an interrupted swap back (or a legacy delete-then-rename
+    * crash forward) — a crash can never leave the path absent and make
+    * the next run silently re-open every row as a first run, which
+    * would discard all SCD2 history. dbt-parity guard: a source with
+    * duplicate keys would open multiple simultaneous versions per key
+    * and corrupt the SCD2 invariant, so key uniqueness is asserted and
+    * the snapshot FAILS (one countDistinct aggregate — the same check
+    * dbt runs). Returns the re-read snapshot table.
     */
   def snapshot(name: String, current: DataFrame, key: String, asOf: Long,
                warehouse: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val path = s"$warehouse/$name"
     val hPath = new org.apache.hadoop.fs.Path(path)
+    val nextP = new org.apache.hadoop.fs.Path(s"$path.next")
+    val oldP = new org.apache.hadoop.fs.Path(s"$path.old")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover an interrupted previous swap BEFORE reading any state
+    if (fs.exists(hPath)) {
+      // live table is authoritative; drop uncommitted leftovers
+      if (fs.exists(nextP)) fs.delete(nextP, true)
+      if (fs.exists(oldP)) fs.delete(oldP, true)
+    } else if (fs.exists(oldP)) {
+      // crashed between rename-aside and rename-in: roll back to old
+      if (fs.exists(nextP)) fs.delete(nextP, true)
+      fs.rename(oldP, hPath)
+    } else if (fs.exists(nextP)) {
+      // legacy delete-then-rename crash: .next holds the full merged
+      // history — roll FORWARD (deleting it would discard SCD2 history)
+      fs.rename(nextP, hPath)
+    }
     val payload = current.columns.filterNot(_ == key).toSeq
+    val Array(nRows, nKeys) = current
+      .agg(count(lit(1)).cast("long"), countDistinct(col(key)).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys,
+      s"snapshot '$name': source has $nRows rows but only $nKeys distinct " +
+        s"'$key' values — duplicate snapshot keys would open multiple " +
+        "simultaneous SCD2 versions per key; deduplicate the source first")
     val outCols = (current.columns.toSeq ++ Seq("valid_from", "valid_to", "is_current"))
       .map(col)
     val merged =
@@ -234,10 +272,12 @@ final class ModelEngine(spark: SparkSession) {
         closedHist.select(outCols: _*)
           .union(keptOpen).union(closedNow).union(opened)
       }
-    val next = new org.apache.hadoop.fs.Path(s"$path.next")
-    merged.write.mode("overwrite").parquet(next.toString)
-    fs.delete(hPath, true)
-    fs.rename(next, hPath)
+    merged.write.mode("overwrite").parquet(nextP.toString)
+    // crash-safe swap: aside → in → drop aside (recovery above handles
+    // a crash at any point; the path is never left absent)
+    if (fs.exists(hPath)) fs.rename(hPath, oldP)
+    fs.rename(nextP, hPath)
+    if (fs.exists(oldP)) fs.delete(oldP, true)
     spark.read.parquet(path)
   }
 

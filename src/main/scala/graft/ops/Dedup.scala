@@ -1162,9 +1162,10 @@ object Dedup {
     * join is segment-keyed, never all-pairs; reassembly buffers only one
     * document's own segments (t25's array_sort discipline). At 100 TB
     * the group key would be xxhash64(segment) — 8 bytes — with the same
-    * plan. Owner ordering is encoded as doc_id·10⁶ + position (exact
-    * while documents stay under 10⁷ tokens; a 100 TB corpus doc cap is
-    * orders of magnitude below that). [oracle]
+    * plan. Owner ordering is the lexicographic min over
+    * struct(doc_id, idx) — no arithmetic encoding, so no silent
+    * collision for documents past 10⁷ tokens and no Long overflow for
+    * large doc_ids (both engines min-aggregate the same struct). [oracle]
     */
   def d12_line_dedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
@@ -1174,11 +1175,11 @@ object Dedup {
         s"transform(sequence(0, CAST(ceil(size(toks) / $LineTokens.0) AS INT) - 1), " +
           s"i -> struct(i AS idx, concat_ws(' ', slice(toks, i * $LineTokens + 1, $LineTokens)) AS seg))")).as("s"))
       .select(col("doc_id"), col("s.idx").as("idx"), col("s.seg").as("seg"))
-      .withColumn("ord", col("doc_id") * lit(1000000L) + col("idx"))
       .persistTracked
-    val firstOwner = segs.groupBy("seg").agg(min("ord").as("first_ord"))
+    val firstOwner = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first_ord"))
     segs.join(firstOwner, Seq("seg"))
-      .withColumn("keep", col("ord") === col("first_ord"))
+      .withColumn("keep", struct(col("doc_id"), col("idx")) === col("first_ord"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("long").as("n_segs"),
@@ -1203,13 +1204,12 @@ object Dedup {
        |  FROM toksd),
        |segs AS (
        |  SELECT doc_id, idx,
-       |    array_to_string(toks[idx * $LineTokens + 1 : idx * $LineTokens + $LineTokens], ' ') AS seg,
-       |    doc_id * 1000000 + idx AS ord
+       |    array_to_string(toks[idx * $LineTokens + 1 : idx * $LineTokens + $LineTokens], ' ') AS seg
        |  FROM seg),
        |first_owner AS (
-       |  SELECT seg, MIN(ord) AS first_ord FROM segs GROUP BY seg),
+       |  SELECT seg, MIN(ROW(doc_id, idx)) AS first_ord FROM segs GROUP BY seg),
        |flagged AS (
-       |  SELECT s.doc_id, s.idx, s.seg, s.ord = f.first_ord AS keep
+       |  SELECT s.doc_id, s.idx, s.seg, ROW(s.doc_id, s.idx) = f.first_ord AS keep
        |  FROM segs s JOIN first_owner f USING (seg))
        |SELECT doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_segs,

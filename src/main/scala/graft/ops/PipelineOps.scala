@@ -749,11 +749,12 @@ object PipelineOps {
     * pure function of the WORD, so everything runs on the DISTINCT-WORD
     * table (orders of magnitude smaller than the corpus) and results
     * join back by word — here the word counts are carried through
-    * directly. The greedy walk itself is ONE narrow higher-order
-    * `aggregate` over a per-word position→best-piece map (built by one
-    * small groupBy) — length(word) bounded steps (exact: every piece
-    * advances ≥1 char, so no word can outrun the bound and pieces
-    * always cover the word), no iterative joins, no UDF. Both engines
+    * directly. The greedy walk itself is a pair of narrow higher-order
+    * `aggregate`s over a per-word position→best-piece map (built by one
+    * small groupBy) — an integer-only length(word)-step counting pass
+    * (exact: every piece advances ≥1 char, so no word can outrun the
+    * bound and pieces always cover the word) then an exactly-n_pieces-
+    * step array build — no iterative joins, no UDF. Both engines
     * execute the identical bounded recurrence (DuckDB: a recursive CTE
     * with the same per-word len(word) bound over the same best-piece
     * table), so the segmentation is hash-exact. [oracle]
@@ -799,25 +800,36 @@ object PipelineOps {
       .groupBy("word", "pos").agg(max("l").as("l"))
       .withColumn("p", expr("substr(word, pos, l)"))
 
-    // per-word position→(len, piece) map, then the greedy walk as one
-    // bounded fold — length(word) steps is exact (every piece advances
-    // ≥1 char), so NO word can outrun the bound and pieces always cover
-    // the word; the IF keeps finished words inert
+    // per-word position→(len, piece) map, then the greedy walk as TWO
+    // bounded folds. Walk 1 is integer-only (pos, n) over length(word)
+    // steps — exact bound, every piece advances ≥1 char, the IF keeps
+    // finished words inert and copies nothing. Walk 2 re-runs the walk
+    // for EXACTLY n_pieces steps (no IF needed) appending piece
+    // references to an array, joined once by concat_ws at the end.
+    // The old single fold concatenated the growing pieces string every
+    // step — O(len²) character copying per word, which dominated the
+    // r9 bench once the bound became the exact length(word); the split
+    // keeps the long-word steps integer-cheap and bounds the array
+    // walk by the (usually tiny) piece count instead.
     val maps = best.groupBy("word")
       .agg(map_from_entries(collect_list(
         struct(col("pos"), struct(col("l"), col("p"))))).as("m"))
     words.join(maps, Seq("word"))
-      .withColumn("st", expr(
+      .withColumn("n_pieces", expr(
         """aggregate(sequence(1, length(word)),
-          |  named_struct('pos', 1, 'pieces', '', 'n', CAST(0 AS BIGINT)),
+          |  named_struct('pos', 1, 'n', CAST(0 AS BIGINT)),
           |  (acc, step) -> IF(acc.pos > length(word), acc,
-          |    named_struct(
-          |      'pos', acc.pos + element_at(m, acc.pos).l,
-          |      'pieces', IF(acc.n = 0, element_at(m, acc.pos).p,
-          |                   concat(acc.pieces, '|', element_at(m, acc.pos).p)),
-          |      'n', acc.n + 1)))""".stripMargin))
-      .select(col("word"), col("wcount"),
-        col("st.n").as("n_pieces"), col("st.pieces").as("pieces"))
+          |    named_struct('pos', acc.pos + element_at(m, acc.pos).l,
+          |                 'n', acc.n + 1)),
+          |  acc -> acc.n)""".stripMargin))
+      .withColumn("pieces", expr(
+        """concat_ws('|', aggregate(sequence(1, CAST(n_pieces AS INT)),
+          |  named_struct('pos', 1, 'arr', CAST(array() AS ARRAY<STRING>)),
+          |  (acc, step) -> named_struct(
+          |    'pos', acc.pos + element_at(m, acc.pos).l,
+          |    'arr', array_append(acc.arr, element_at(m, acc.pos).p)),
+          |  acc -> acc.arr))""".stripMargin))
+      .select(col("word"), col("wcount"), col("n_pieces"), col("pieces"))
       .orderBy("word")
   }
 

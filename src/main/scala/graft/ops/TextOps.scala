@@ -358,30 +358,40 @@ object TextOps {
     * c_bigram — order-isomorphic to -log p(w2|w1) per transition) so the
     * whole operator is engine-independent, like t12's idf.
     *
-    * Scale shape: the bigram stream (one explode) is persisted and used
-    * twice — once aggregated into the LM table, once joined back for
-    * scoring. The LM join is keyed on the bigram; Catalyst/AQE broadcasts
-    * the stats side when the vocabulary is small and shuffle-joins when
-    * it isn't (at 100 TB the LM table is itself big — there is no
-    * driver-side model object anywhere). [oracle]
+    * Scale shape: the exploded occurrence stream collapses immediately
+    * into distinct (doc_id, bigram, cnt) pairs (map-side combine), and
+    * THAT compact frame is what gets persisted and used twice — once
+    * aggregated into the LM table, once joined back for scoring with
+    * counts multiplied through. The LM join is keyed on the bigram;
+    * Catalyst/AQE broadcasts the stats side when the vocabulary is
+    * small and shuffle-joins when it isn't (at 100 TB the LM table is
+    * itself big — there is no driver-side model object anywhere).
+    * [oracle]
     */
   def t16_lm_surprisal(spark: SparkSession, dir: String): DataFrame = {
-    val stream = Tables(spark, dir).documents
+    // Pre-aggregate the exploded occurrence stream into DISTINCT
+    // (doc_id, bigram) pairs carrying an occurrence count — map-side
+    // combine shrinks the shuffle, and everything downstream (the
+    // persist, the LM join-back, the doc aggregate) then moves
+    // distinct-pair rows instead of raw occurrences. The corpus-sized
+    // exploded frame is never persisted.
+    val pairs = Tables(spark, dir).documents
       .select(col("doc_id"), expr(TOKENS).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
       .persistTracked
-    val bigStats = stream.groupBy("bigram").agg(count(lit(1)).as("c_big"))
+    val bigStats = pairs.groupBy("bigram").agg(sum("cnt").cast("long").as("c_big"))
       .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
     val prefStats = bigStats.groupBy("w1").agg(sum("c_big").cast("long").as("c_pref"))
     val lm = bigStats.join(prefStats, "w1").select("bigram", "c_big", "c_pref")
-    stream.join(lm, "bigram")
+    pairs.join(lm, "bigram")
       .withColumn("surprisal", expr("c_pref * 1000000L DIV c_big"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum("surprisal").cast("long").as("sum_surprisal"))
+        sum("cnt").cast("long").as("n_bigrams"),
+        sum(expr("surprisal * cnt")).cast("long").as("sum_surprisal"))
       .withColumn("avg_surprisal", expr("sum_surprisal DIV n_bigrams"))
       .orderBy("doc_id")
   }

@@ -63,7 +63,15 @@ class EmptyInputSpec extends SparkSpec {
       "q73_ordered_set", "s13_filtered_ann", "g6_kcore", "a12_seeds",
       "t28_dsir", "p5_curriculum", "m8_audio_dedup",
       // round-9 batch 4: recall report, model contracts, fertility
-      "s14_recall_eval", "a13_contracts", "t29_fertility")
+      "s14_recall_eval", "a13_contracts", "t29_fertility",
+      // waves 5–7: line/incremental dedup, LSH calibration, retention
+      // policies, epoch plan, packing, splits, dataset card, repetition
+      // filter, PII v2, kNN join, degree report, SCD2 snapshot model
+      "d12_line_dedup", "d13_lsh_calibration", "d14_retention_policies",
+      "d15_incremental_dedup", "p6_epoch_plan", "p7_pack_chunks",
+      "p8_split_assign", "p9_dataset_card", "t30_repetition_filter",
+      "t31_pii_redact", "s15_knn_join", "g7_degree_report",
+      "a14_snapshot")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()
