@@ -104,6 +104,29 @@ object ModelParser {
   private def stripComments(s: String): String =
     s.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\n]*", " ")
 
+  /** Warehouse-dialect compatibility shim for query bodies. The
+    * reference pushes model text through UNPARSED to PostgreSQL/BigQuery
+    * (src/execute.rs), so real projects contain types Spark's parser
+    * rejects — the reference's own examples/postgres/models/revenue.sql
+    * casts to bare `VARCHAR` (PG's unbounded varchar), which Spark only
+    * accepts with an explicit length. Rewrites, outside string literals
+    * only: bare VARCHAR (no length) → STRING. Length-parameterized
+    * VARCHAR(n) is left alone — Spark accepts it natively.
+    */
+  def sparkCompat(q: String): String =
+    rewriteOutsideLiterals(q)(
+      _.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING"))
+
+  /** Apply `f` to the spans of `sql` outside single-quoted literals.
+    * Splitting on every quote alternates outside/inside spans, and SQL's
+    * doubled-quote escape ('') just yields empty inside/outside segments
+    * — the alternation stays correct.
+    */
+  private def rewriteOutsideLiterals(sql: String)(f: String => String): String =
+    sql.split("'", -1).zipWithIndex
+      .map { case (seg, i) => if (i % 2 == 0) f(seg) else seg }
+      .mkString("'")
+
   private val ViewRe =
     "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?VIEW\\s+([\\w.]+)\\s+AS\\s+(.*)$".r
   private val MatViewRe =
@@ -117,15 +140,16 @@ object ModelParser {
     * (src/main.rs:159 `unimplemented!`), we raise a descriptive error.
     */
   def parseModel(stmt: String): ModelStatement = stripComments(stmt).trim match {
-    case MatViewRe(name, q) => TableModel(name.toLowerCase, q.trim)
-    case TableRe(name, q)   => TableModel(name.toLowerCase, q.trim)
-    case ViewRe(name, q)    => ViewModel(name.toLowerCase, q.trim)
+    case MatViewRe(name, q) => TableModel(name.toLowerCase, sparkCompat(q.trim))
+    case TableRe(name, q)   => TableModel(name.toLowerCase, sparkCompat(q.trim))
+    case ViewRe(name, q)    => ViewModel(name.toLowerCase, sparkCompat(q.trim))
     case other => throw new IllegalArgumentException(
       s"Only CREATE [MATERIALIZED] VIEW and CREATE TABLE AS are supported as models, got: ${other.take(80)}")
   }
 
   def parseAssert(stmt: String): AssertTest = stripComments(stmt).trim match {
-    case AssertRe(cond, msg) => AssertTest(cond.trim, msg.replace("''", "'"))
+    case AssertRe(cond, msg) =>
+      AssertTest(sparkCompat(cond.trim), msg.replace("''", "'"))
     case other => throw new IllegalArgumentException(
       s"Only ASSERT … AS 'message' statements are supported in test files, got: ${other.take(80)}")
   }
