@@ -1160,10 +1160,19 @@ object Similarity {
   /** DuckDB mirror of s11: the 5 greedy steps UNROLLED into chained
     * CTEs (each step = anti-join selected, max-sim aggregate, window
     * argmax) — no recursion, same integer arithmetic, same tiebreaks.
+    *
+    * Every stage is AS MATERIALIZED and the exact scan is bounded ON
+    * PURPOSE: each selu_k references selu_{k-1} twice (the step join
+    * and the UNION), so un-materialized CTE inlining re-evaluates the
+    * whole upstream chain 2^k times — at sf10 that exact-scan blowup
+    * exhausted the verify container. The scored pass is also kept
+    * NARROW (ids + rel6 only; unit vectors join back onto the ≤20·|q|
+    * shortlist rows afterwards) so the per-query window never sorts
+    * list-carrying rows.
     */
   lazy val s11_oracle: String = {
     val steps = (2 to MmrK).map { k =>
-      s"""sel$k AS (
+      s"""sel$k AS MATERIALIZED (
          |  SELECT query_id, $k AS step, cand_id, mmr6 FROM (
          |    SELECT x.query_id, x.cand_id, x.mmr6, row_number() OVER (
          |      PARTITION BY x.query_id ORDER BY x.mmr6 DESC, x.cand_id ASC) AS rn
@@ -1176,36 +1185,40 @@ object Similarity {
          |      WHERE NOT EXISTS (SELECT 1 FROM selu${k - 1} z
          |        WHERE z.query_id = r.query_id AND z.cand_id = r.cand_id)
          |      GROUP BY r.query_id, r.cand_id, r.rel6) x) WHERE rn = 1),
-         |selu$k AS (SELECT * FROM selu${k - 1} UNION ALL SELECT * FROM sel$k)""".stripMargin
+         |selu$k AS MATERIALIZED (
+         |  SELECT * FROM selu${k - 1} UNION ALL SELECT * FROM sel$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
        |  FROM embeddings),
-       |u AS (
+       |u AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
        |  FROM v),
        |q AS (SELECT vec_id AS query_id, unit AS qunit FROM u WHERE vec_id < 10),
-       |scoredall AS (
-       |  SELECT q.query_id, c.vec_id AS cand_id, c.unit,
-       |    CAST(round(list_dot_product(q.qunit, c.unit) * 1000000) AS BIGINT) AS rel6
-       |  FROM q JOIN u c ON c.vec_id <> q.query_id),
-       |shortlist AS (
-       |  SELECT query_id, cand_id, unit, rel6 FROM (
+       |shortids AS MATERIALIZED (
+       |  SELECT query_id, cand_id, rel6 FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY query_id ORDER BY rel6 DESC, cand_id ASC) AS rn
-       |    FROM scoredall) WHERE rn <= $MmrShortlist),
-       |psim AS (
+       |    FROM (
+       |      SELECT q.query_id, c.vec_id AS cand_id,
+       |        CAST(round(list_dot_product(q.qunit, c.unit) * 1000000) AS BIGINT) AS rel6
+       |      FROM q JOIN u c ON c.vec_id <> q.query_id))
+       |  WHERE rn <= $MmrShortlist),
+       |shortlist AS MATERIALIZED (
+       |  SELECT s.query_id, s.cand_id, c.unit, s.rel6
+       |  FROM shortids s JOIN u c ON c.vec_id = s.cand_id),
+       |psim AS MATERIALIZED (
        |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
        |    CAST(round(list_dot_product(a.unit, b.unit) * 1000000) AS BIGINT) AS sim6
        |  FROM shortlist a JOIN shortlist b
        |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
-       |sel1 AS (
+       |sel1 AS MATERIALIZED (
        |  SELECT query_id, 1 AS step, cand_id, 7 * rel6 AS mmr6 FROM (
        |    SELECT query_id, cand_id, rel6, row_number() OVER (
        |      PARTITION BY query_id ORDER BY rel6 DESC, cand_id ASC) AS rn
        |    FROM shortlist) WHERE rn = 1),
-       |selu1 AS (SELECT * FROM sel1),
+       |selu1 AS MATERIALIZED (SELECT * FROM sel1),
        |$steps
        |SELECT query_id, CAST(step AS BIGINT) AS step, cand_id, mmr6
        |FROM selu$MmrK ORDER BY query_id, step""".stripMargin
