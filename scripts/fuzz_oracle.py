@@ -29,9 +29,16 @@ def canon_val(v):
 def main():
     corpus_path, sf_dir, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * "
-                f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # tolerate generated corpora dirs: Spark writes directory
+        # parquet, and an operator-fuzz corpus contains only the tables
+        # its family reads
+        p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     corpus = json.load(open(corpus_path))
     out = {}
     for name, sql in sorted(corpus.items()):

@@ -1,0 +1,264 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operator-family differential fuzzing (VERDICT r9 item 6): QueryGen
+  * samples the SQL surface, but the dedup/text/packing operators take
+  * PARAMETERS (shingle width, document-frequency caps, thresholds,
+  * sequence lengths) that the fixed oracle entries only ever exercise
+  * at one point each. This generator draws random parameter vectors AND
+  * random corpora (both from the same splitmix64 stream as QueryGen, so
+  * the whole suite is seed-pinned) and emits, per draw, a Spark
+  * DataFrame builder plus a DuckDB SQL twin computing the identical
+  * integer-exact semantics. FuzzSpec runs both and compares
+  * row-for-row.
+  *
+  * Three families, chosen because their oracle entries have the most
+  * parameter surface:
+  *   - n-gram inverted-index Jaccard dedup (d4's shape: distinct
+  *     n-shingles → df-capped inverted index → bucket-joined pair
+  *     intersection → permille Jaccard threshold);
+  *   - quality scoring (t2/t19's shape: per-doc token/char counts,
+  *     permille mean word length, permille stopword ratio, a
+  *     conjunctive keep verdict);
+  *   - greedy sequence packing (p7's shape: running token cumsum over
+  *     doc order, chunk id = prefix DIV seq_len).
+  *
+  * Determinism rules (same discipline as QueryGen): integer permille
+  * arithmetic only (x·1000 DIV y — no float division), corpora built
+  * from a closed ASCII vocabulary, every output ordered by its full
+  * column set on both sides.
+  */
+object OpGen {
+
+  import QueryGen.Rng
+
+  // ------------------------------------------------------------ corpus
+
+  /** Vocabulary: short/long words so mean-length filters have signal. */
+  private val Vocab: Seq[String] =
+    (0 until 18).map(i => s"w$i") ++
+      (0 until 6).map(i => s"longword${i}x${i}") ++
+      Seq("the", "of", "and", "to", "in", "a")
+
+  final case class Doc(docId: Long, text: String)
+
+  /** Deterministic random corpus with near-dup structure: ~30% of docs
+    * clone an earlier doc with 0–2 token edits (the LSH/Jaccard
+    * operators need true near-pairs, not just random noise), plus
+    * forced degenerate shapes (empty text, single token).
+    */
+  def corpus(rng: Rng, nDocs: Int): Seq[Doc] = {
+    val docs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    (0 until nDocs).foreach { i =>
+      val toks: Seq[String] =
+        if (i == 0) Seq.empty
+        else if (i == 1) Seq(rng.pick(Vocab))
+        else if (docs.size > 3 && rng.chance(30)) {
+          // near-clone with small edits
+          val base = docs(rng.nextInt(docs.size)).toBuffer
+          val edits = rng.nextInt(3)
+          (0 until edits).foreach { _ =>
+            if (base.nonEmpty) base(rng.nextInt(base.size)) = rng.pick(Vocab)
+          }
+          base.toSeq
+        } else Seq.fill(1 + rng.nextInt(25))(rng.pick(Vocab))
+      docs += toks
+    }
+    docs.zipWithIndex.map { case (t, i) => Doc(i.toLong, t.mkString(" ")) }.toSeq
+  }
+
+  // ---------------------------------------------------- family: dedup
+
+  final case class DedupParams(n: Int, threshPermille: Int, dfCap: Int)
+
+  def drawDedup(rng: Rng): DedupParams =
+    DedupParams(
+      n = 1 + rng.nextInt(3),
+      threshPermille = rng.pick(Seq(300, 500, 700, 900)),
+      dfCap = rng.pick(Seq(4, 8, 32)))
+
+  /** d4-shaped parameterized dedup: docs with ≥ n tokens form DISTINCT
+    * n-shingles; shingles whose document frequency is in [2, dfCap]
+    * feed the inverted-index pair join; pair Jaccard (over the capped
+    * shingle sets' intersection) is integer permille vs the threshold.
+    */
+  def dedupSpark(docs: DataFrame, p: DedupParams): DataFrame = {
+    // the shingle expression is TOTAL (IF-guarded) as well as filtered:
+    // plan rewrites may evaluate the projection on rows the filter
+    // later removes, and sequence(0, negative) is a DESCENDING sequence
+    // whose tail indexes slice at start 0 — a runtime error
+    val sh = docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .filter(size(col("toks")) >= p.n)
+      .select(col("doc_id"), expr(
+        s"IF(size(toks) >= ${p.n}, " +
+          s"array_distinct(transform(sequence(0, size(toks) - ${p.n}), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, ${p.n})))), " +
+          "CAST(array() AS ARRAY<STRING>))").as("shingles"))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("nsh"))
+    val inv = sh.select(col("doc_id"), col("nsh"), explode(col("shingles")).as("s"))
+    val dfOk = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, p.dfCap)).select("s")
+    val m = inv.join(dfOk, Seq("s"))
+    m.as("a").join(m.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.nsh").as("n_a"), col("b.nsh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jacc_permille",
+        expr("inter * 1000L DIV (n_a + n_b - inter)"))
+      .filter(col("jacc_permille") >= p.threshPermille)
+      .select("id_a", "id_b", "inter", "jacc_permille")
+      .orderBy("id_a", "id_b")
+  }
+
+  def dedupSql(p: DedupParams): String =
+    s"""WITH toksd AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(0, len(toks) - ${p.n} + 1),
+       |      i -> array_to_string(toks[i + 1 : i + ${p.n}], ' '))) AS shingles
+       |  FROM toksd WHERE len(toks) >= ${p.n}),
+       |inv AS (
+       |  SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh),
+       |df_ok AS (
+       |  SELECT s FROM inv GROUP BY s HAVING COUNT(*) BETWEEN 2 AND ${p.dfCap}),
+       |m AS (SELECT i.* FROM inv i JOIN df_ok USING (s)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS n_a, b.nsh AS n_b,
+       |    COUNT(*) AS inter
+       |  FROM m a JOIN m b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT id_a, id_b, inter, inter * 1000 // (n_a + n_b - inter) AS jacc_permille
+       |FROM pairs WHERE inter * 1000 // (n_a + n_b - inter) >= ${p.threshPermille}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------- family: quality
+
+  final case class QualityParams(minToks: Int, maxToks: Int,
+      meanLenMinPermille: Int, stops: Seq[String], stopMaxPermille: Int)
+
+  def drawQuality(rng: Rng): QualityParams = {
+    val lo = 1 + rng.nextInt(4)
+    QualityParams(
+      minToks = lo,
+      maxToks = lo + 5 + rng.nextInt(20),
+      meanLenMinPermille = rng.pick(Seq(1500, 2000, 2500)),
+      stops = Seq("the", "of", "and", "to", "in", "a").take(2 + rng.nextInt(5)),
+      stopMaxPermille = rng.pick(Seq(200, 400, 600)))
+  }
+
+  /** t2/t19-shaped parameterized quality report: integer permille
+    * stats + conjunctive keep verdict, one narrow scan, no shuffle.
+    */
+  def qualitySpark(docs: DataFrame, p: QualityParams): DataFrame = {
+    val stopsArr = s"array(${p.stops.map(s => s"'$s'").mkString(", ")})"
+    docs
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_chars", expr(
+        "aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("mean_len_permille", expr(
+        "CASE WHEN n_toks = 0 THEN 0L ELSE n_chars * 1000L DIV n_toks END"))
+      .withColumn("stop_permille", expr(
+        s"CASE WHEN n_toks = 0 THEN 0L ELSE " +
+          s"size(filter(toks, x -> array_contains($stopsArr, x))) * 1000L DIV n_toks END"))
+      .withColumn("keep",
+        col("n_toks").between(p.minToks, p.maxToks) &&
+          col("mean_len_permille") >= p.meanLenMinPermille &&
+          col("stop_permille") <= p.stopMaxPermille)
+      .select("doc_id", "n_toks", "mean_len_permille", "stop_permille", "keep")
+      .orderBy("doc_id")
+  }
+
+  def qualitySql(p: QualityParams): String = {
+    val stopsList = s"[${p.stops.map(s => s"'$s'").mkString(", ")}]"
+    s"""WITH toksd AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |stats AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(toks, x -> list_contains($stopsList, x))) AS BIGINT) AS n_stop
+       |  FROM toksd)
+       |SELECT doc_id, n_toks,
+       |  CASE WHEN n_toks = 0 THEN 0 ELSE n_chars * 1000 // n_toks END AS mean_len_permille,
+       |  CASE WHEN n_toks = 0 THEN 0 ELSE n_stop * 1000 // n_toks END AS stop_permille,
+       |  (n_toks BETWEEN ${p.minToks} AND ${p.maxToks})
+       |    AND (CASE WHEN n_toks = 0 THEN 0 ELSE n_chars * 1000 // n_toks END) >= ${p.meanLenMinPermille}
+       |    AND (CASE WHEN n_toks = 0 THEN 0 ELSE n_stop * 1000 // n_toks END) <= ${p.stopMaxPermille} AS keep
+       |FROM stats ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------- family: packing
+
+  final case class PackParams(seqLen: Int)
+
+  def drawPack(rng: Rng): PackParams = PackParams(rng.pick(Seq(8, 16, 32, 64)))
+
+  /** p7-shaped greedy packing: chunk id = (token prefix-sum before this
+    * doc) DIV seq_len, over global doc_id order.
+    */
+  def packSpark(docs: DataFrame, p: PackParams): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).cast("long").as("n_toks"))
+      .withColumn("cum_before", coalesce(sum("n_toks").over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"cum_before DIV ${p.seqLen}"))
+      .select("doc_id", "n_toks", "chunk_id")
+      .orderBy("doc_id")
+  }
+
+  def packSql(p: PackParams): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_toks,
+       |    coalesce(SUM(n_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, n_toks, CAST(cum_before // ${p.seqLen} AS BIGINT) AS chunk_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ draws
+
+  final case class Draw(seed: Long, docs: Seq[Doc],
+      dedup: DedupParams, quality: QualityParams, pack: PackParams)
+
+  /** One fully seeded draw: corpus + a parameter vector per family. */
+  def draw(seed: Long): Draw = {
+    val rng = new Rng(seed)
+    val docs = corpus(rng, 40 + rng.nextInt(80))
+    Draw(seed, docs, drawDedup(rng), drawQuality(rng), drawPack(rng))
+  }
+
+  /** Stable digest of everything a seed generates — FuzzSpec pins this
+    * so generator drift can't silently change the covered surface.
+    */
+  def digest(seeds: Seq[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    seeds.foreach { s =>
+      val d = draw(s)
+      md.update(s"$s|${d.dedup}|${d.quality}|${d.pack}\n".getBytes("UTF-8"))
+      d.docs.foreach(doc => md.update(s"${doc.docId}:${doc.text}\n".getBytes("UTF-8")))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def register(spark: SparkSession, d: Draw, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = d.docs.map(x => (x.docId, x.text)).toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$dir/documents.parquet")
+  }
+}

@@ -86,6 +86,83 @@ class FuzzSpec extends SparkSpec {
       s"${failures.size}/$N diverged:\n${failures.mkString("\n")}")
   }
 
+  // -------------------------------------------- operator-family fuzz
+
+  /** Seeds for the operator-parameter fuzz (VERDICT r9 item 6): 12
+    * draws × 3 families (dedup, quality, packing) = 36 differential
+    * checks beyond the SQL grammar. Seed-pinned via the digest below.
+    */
+  private val opSeeds: Seq[Long] = (101L to 112L)
+
+  test("op fuzz: the seeded draws regenerate bit-identically") {
+    assert(graft.fuzz.OpGen.digest(opSeeds) ==
+      "5c871903bbd2ef31d7d59f5b591dd40df42218d7892fd37afd924674fe547dfe",
+      "OpGen drifted — parameter/corpus coverage changed; update the pin deliberately")
+  }
+
+  test("op fuzz: dedup, quality, and packing families match DuckDB on random corpora") {
+    val py = new java.io.File("/usr/bin/python3")
+    assume(py.exists, "python3 unavailable — differential half skipped")
+    import graft.fuzz.OpGen
+
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    for (seed <- opSeeds) {
+      val d = OpGen.draw(seed)
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_opfuzz_$seed").toString
+      val docs = OpGen.register(spark, d, dir)
+
+      val sqls = Map(
+        "dedup" -> OpGen.dedupSql(d.dedup),
+        "quality" -> OpGen.qualitySql(d.quality),
+        "pack" -> OpGen.packSql(d.pack))
+      val corpusPath = java.nio.file.Paths.get(dir, "corpus.json")
+      java.nio.file.Files.writeString(corpusPath,
+        sqls.map { case (k, v) =>
+          "\"" + k + "\": " + "\"" +
+            v.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+        }.mkString("{", ", ", "}"))
+      val oraclePath = java.nio.file.Paths.get(dir, "oracle.json")
+      val proc = new ProcessBuilder("python3", "scripts/fuzz_oracle.py",
+        corpusPath.toString, dir, oraclePath.toString)
+        .redirectErrorStream(true).start()
+      val log = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+      assume(proc.waitFor() == 0 && java.nio.file.Files.exists(oraclePath),
+        s"duckdb oracle run failed — op fuzz skipped:\n${log.take(500)}")
+      val oracle = parseOracle(
+        new String(java.nio.file.Files.readAllBytes(oraclePath), "UTF-8"))
+
+      val sparkSides = Map(
+        "dedup" -> OpGen.dedupSpark(docs, d.dedup),
+        "quality" -> OpGen.qualitySpark(docs, d.quality),
+        "pack" -> OpGen.packSpark(docs, d.pack))
+      for ((fam, df) <- sparkSides) {
+        val tag = s"seed=$seed $fam params=${fam match {
+          case "dedup" => d.dedup.toString
+          case "quality" => d.quality.toString
+          case _ => d.pack.toString }}"
+        oracle.get(fam) match {
+          case None => failures += s"$tag: missing from oracle output"
+          case Some(Left(err)) => failures += s"$tag: DuckDB error $err"
+          case Some(Right((ocols, orows))) =>
+            val cols = df.columns.toSeq
+            val order = cols.indices.sortBy(cols)
+            val rows = df.collect().map { r =>
+              order.map(i => canonVal(r.get(i))).mkString("\u0001")
+            }.sorted.toSeq
+            if (cols.sorted != ocols)
+              failures += s"$tag: schema ${cols.sorted} != $ocols"
+            else if (rows != orows) {
+              val diff = rows.zipAll(orows, "<missing>", "<missing>")
+                .filter { case (a, b) => a != b }.take(3)
+              failures += s"$tag: ${rows.size} vs ${orows.size} rows; first diffs: $diff"
+            }
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} operator draws diverged:\n${failures.mkString("\n")}")
+  }
+
   private def canonVal(v: Any): String = v match {
     case null => "NULL"
     case b: Boolean => if (b) "true" else "false"
