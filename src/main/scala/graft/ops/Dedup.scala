@@ -1066,28 +1066,38 @@ object Dedup {
     * Scale shape: one narrow scan explodes positional grams; the df
     * filter [2, 20] bounds the self-join at df² pairs per gram (never
     * all-pairs, boilerplate grams dropped); islands group on (pair,
-    * diagonal) — sparse match rows only. Grams are exchanged as strings
-    * here for oracle parity; at 100 TB the band key would be
-    * xxhash64(gram) — 8 bytes, same plan. [oracle]
+    * diagonal) — sparse match rows only. Grams are REDUCED TO 60-BIT
+    * sha256-PREFIX KEYS inside the scan (the d2/d3 engine-independent
+    * hash — DuckDB computes the identical value, so any collision
+    * merges the same grams in both engines and the output stays
+    * hash-exact): every exchange — the df aggregate, the index join,
+    * the pair self-join — moves 8-byte longs instead of ~30-byte gram
+    * strings, which is also exactly the 100 TB shape. [oracle]
     */
   def d11_span_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
     val docs = Tables(spark, dir).documents
       .withColumn("toks", expr(TextOps.TOKENS))
     val posGrams = docs.filter(size(col("toks")) >= SpanGram)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${SpanGram - 1}), " +
           s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $SpanGram)) AS gram))")).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        sha256PrefixLong(col("pg.gram"), 15).as("gram"))
       .persistTracked
     val ok = posGrams.groupBy("gram")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df").between(2, SpanDfCap)).select("gram")
     val m = posGrams.join(ok, Seq("gram"))
+    // no distinct: posGrams carries exactly one row per (doc, pos) and a
+    // position's gram is unique, so each joined (doc_a, doc_b, pos_a,
+    // diag) row is already unique by construction — a dedup here would
+    // be a pure-waste full exchange of the pair stream (and the island
+    // window below NEEDS exactly-once rows either way)
     val pairs = m.as("a").join(m.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
-      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     pairs.withColumn("island", col("pos_a") - row_number().over(w))
@@ -1111,14 +1121,16 @@ object Dedup {
        |  FROM toksd WHERE len(toks) >= $SpanGram),
        |grams AS (
        |  SELECT doc_id, pos,
-       |    ${(0 until SpanGram).map(i => s"toks[pos+$i]").mkString(" || ' ' || ")} AS gram
+       |    ('0x' || substr(sha256(
+       |      ${(0 until SpanGram).map(i => s"toks[pos+$i]").mkString(" || ' ' || ")}
+       |    ), 1, 15))::BIGINT AS gram
        |  FROM pg),
        |ok AS (
        |  SELECT gram FROM grams GROUP BY gram
        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SpanDfCap),
        |m AS (SELECT g.* FROM grams g JOIN ok USING (gram)),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    a.pos AS pos_a, a.pos - b.pos AS diag
        |  FROM m a JOIN m b ON a.gram = b.gram AND a.doc_id < b.doc_id),
        |runs AS (

@@ -1530,4 +1530,182 @@ object PipelineOps {
        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
        |FROM docs JOIN owner USING (dg)
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- p10: token-budget selection -----------------------------------
+
+  private val BudgetShards = 32 // prefix-sum parallelism knob (~100k at 100 TB)
+  private val BandWidth = 250   // quality-band coarseness (mean-len permille)
+
+  /** p10_token_budget — select the best-quality corpus prefix that fits
+    * a token budget: the greedy knapsack every training run executes
+    * when compute (not data) is the binding constraint ("train on the
+    * best 40% of tokens"). Priority is (quality band DESC, sha shard,
+    * sha ticket, doc_id) — quality-banded on purpose: within a band,
+    * strict ordering is meaningless precision, and the sha order makes
+    * the cut reproducible across runs/engines/cluster sizes (t15's
+    * discipline). A document is kept iff its cumulative token count
+    * under that total order fits the budget (2/5 of corpus tokens —
+    * corpus-scaled, no literal tuned to one SF).
+    *
+    * Scale shape — the reason this entry exists: the global running sum
+    * is a TWO-PHASE distributed prefix sum, never a single-partition
+    * window. Per-(band, shard) token subtotals (a ≤ bands×32-row
+    * aggregate) get running offsets on the tiny cell table; each
+    * document's global position is its cell offset plus a cumsum inside
+    * its own (band, shard) window partition. Shard count is the
+    * parallelism knob (p7's discipline); DuckDB reproduces the numbers
+    * with one flat window over the identical total order, which proves
+    * the decomposition exact. [oracle]
+    */
+  def p10_token_budget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size(${TextOps.TOKENS}) AS BIGINT)").as("ntok"),
+        expr(s"aggregate(${TextOps.TOKENS}, 0L, (a, x) -> a + length(x))").as("nchar"))
+      .withColumn("band", expr(
+        s"(CASE WHEN ntok = 0 THEN 0L ELSE nchar * 1000L DIV ntok END) DIV $BandWidth"))
+      .withColumn("shard",
+        pmod(sha256PrefixLong(col("doc_id").cast("string"), 15), lit(BudgetShards.toLong)))
+      .withColumn("tick",
+        sha256PrefixLong(concat(lit("budget"), col("doc_id").cast("string")), 12))
+      .persistTracked
+    val budget = docs.agg((sum("ntok") * 2).cast("long").as("b"))
+      .withColumn("b", expr("b DIV 5"))
+    // phase 1: per-cell subtotals + running offsets on the tiny cell table
+    val cells = docs.groupBy("band", "shard")
+      .agg(sum("ntok").cast("long").as("cell_tokens"))
+    val offW = Window.orderBy(col("band").desc, col("shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells
+      .withColumn("cell_before", coalesce(sum("cell_tokens").over(offW), lit(0L)))
+      .select("band", "shard", "cell_before")
+    // phase 2: within-cell cumsum; global position = offset + local cum
+    val inW = Window.partitionBy("band", "shard")
+      .orderBy(col("tick").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), Seq("band", "shard"))
+      .withColumn("cum_incl", col("cell_before") + sum("ntok").over(inW))
+      .crossJoin(broadcast(budget))
+      .withColumn("kept", col("cum_incl") <= col("b"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ntok").cast("long").as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("ntok")).otherwise(0L)).cast("long").as("kept_tokens"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).cast("long").as("kept_id_sum"))
+      .withColumn("kept_permille", expr(
+        "CASE WHEN n_tokens = 0 THEN 0L ELSE kept_tokens * 1000L DIV n_tokens END"))
+      .select("source", "n_docs", "n_tokens", "n_kept", "kept_tokens",
+        "kept_permille", "kept_id_sum")
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of p10: one flat window over the identical
+    * (band DESC, shard, tick, doc_id) total order — agreeing with
+    * Spark's two-phase decomposition by construction.
+    */
+  val p10_oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      list_filter(string_split(text, ' '), x -> x <> ''), x -> len(x))), 0) AS BIGINT) AS nchar,
+       |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $BudgetShards AS shard,
+       |    ('0x' || substr(sha256('budget' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS tick
+       |  FROM documents),
+       |banded AS (
+       |  SELECT *, (CASE WHEN ntok = 0 THEN 0 ELSE nchar * 1000 // ntok END) // $BandWidth AS band
+       |  FROM docs),
+       |b AS (SELECT CAST(SUM(ntok) * 2 // 5 AS BIGINT) AS budget FROM docs),
+       |placed AS (
+       |  SELECT *, SUM(ntok) OVER (ORDER BY band DESC, shard, tick, doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum_incl
+       |  FROM banded),
+       |verdicts AS (
+       |  SELECT p.*, p.cum_incl <= b.budget AS kept FROM placed p CROSS JOIN b)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  CASE WHEN SUM(ntok) = 0 THEN 0
+       |       ELSE CAST(SUM(CASE WHEN kept THEN ntok ELSE 0 END) * 1000 // SUM(ntok) AS BIGINT)
+       |  END AS kept_permille,
+       |  CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+       |FROM verdicts GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- t32: per-source document cap ----------------------------------
+
+  private val DomainCap = 25 // absolute policy cap, NOT a tuned threshold
+
+  /** t32_domain_cap — per-source document cap (the RefinedWeb /
+    * CommonCrawl anti-spam move: no single domain may dominate the
+    * corpus, so every source keeps at most K documents). K is an
+    * ABSOLUTE POLICY constant (real pipelines cap at e.g. 100k
+    * docs/domain regardless of corpus size — unlike d4's df cap this is
+    * not a statistical threshold that must scale, and a bigger corpus
+    * just drops more). Which K survive is decided by the deterministic
+    * sha ticket (t15's reproducibility discipline), so the kept set is
+    * identical across runs, engines, and cluster sizes.
+    *
+    * Scale shape: the K-selection runs on the native bounded-heap
+    * TopKPerGroup operator — per-partition partial heaps, one merge per
+    * source, never a full per-source sort (the window row_number
+    * formulation sorts every group; the heap carries K rows per
+    * partition). The report joins the kept set's aggregate against the
+    * per-source totals from the same persisted compact frame — text
+    * never shuffles. [oracle]
+    */
+  def t32_domain_cap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashExpressions.sha256PrefixLong
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size(${TextOps.TOKENS}) AS BIGINT)").as("ntok"))
+      .withColumn("tick",
+        sha256PrefixLong(concat(lit("cap"), col("doc_id").cast("string")), 12))
+      .persistTracked
+    val kept = graft.plans.TopKPerGroup
+      .topKPerGroup(docs, Seq("source"),
+        Seq(("tick", true), ("doc_id", true)), DomainCap)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        sum("ntok").cast("long").as("kept_tokens"),
+        sum("doc_id").cast("long").as("kept_id_sum"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("ntok").cast("long").as("n_tokens"))
+      .join(kept, Seq("source"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .select("source", "n_docs", "n_tokens", "n_kept", "n_dropped",
+        "kept_tokens", "kept_id_sum")
+      .orderBy("source")
+  }
+
+  /** DuckDB mirror of t32: row_number over the same (tick, doc_id)
+    * priority — semantics identical to the bounded heap.
+    */
+  val t32_oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok,
+       |    ('0x' || substr(sha256('cap' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS tick
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY tick, doc_id) AS rn
+       |  FROM docs),
+       |kept AS (
+       |  SELECT source, COUNT(*) AS n_kept, CAST(SUM(ntok) AS BIGINT) AS kept_tokens,
+       |    CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+       |  FROM ranked WHERE rn <= $DomainCap GROUP BY source),
+       |tot AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+       |  FROM docs GROUP BY source)
+       |SELECT source, n_docs, n_tokens, n_kept, n_docs - n_kept AS n_dropped,
+       |  kept_tokens, kept_id_sum
+       |FROM tot JOIN kept USING (source)
+       |ORDER BY source""".stripMargin
 }

@@ -71,7 +71,9 @@ class EmptyInputSpec extends SparkSpec {
       "d15_incremental_dedup", "p6_epoch_plan", "p7_pack_chunks",
       "p8_split_assign", "p9_dataset_card", "t30_repetition_filter",
       "t31_pii_redact", "s15_knn_join", "g7_degree_report",
-      "a14_snapshot")
+      "a14_snapshot",
+      // round-10 additions: token-budget selection, per-source cap
+      "p10_token_budget", "t32_domain_cap")
     val failures = entries.flatMap { name =>
       try {
         SparkEntry.queries(name)(spark, emptyDir).collect()

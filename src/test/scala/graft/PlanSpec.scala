@@ -658,4 +658,34 @@ class PlanSpec extends SparkSpec {
       s"per-source aggregate must run partial+final:\n$plan")
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
+
+  test("p10: the prefix sum is two-phase — tiny offset window + per-cell windows, no global sort window") {
+    val df = graft.ops.PipelineOps.p10_token_budget(spark, sfDir)
+    val plan = formatted(df)
+    // exactly two windows: the ≤bands×32-row offset ladder and the
+    // per-(band, shard) cumsum — a single flat window over the corpus
+    // (one partition) would be the scale bug this entry exists to avoid
+    assert(nodeCount(plan, "Window") == 2,
+      s"two-phase prefix sum means exactly two windows:\n$plan")
+    assert(nodeCount(plan, "SortMergeJoin") == 0,
+      s"offsets and the budget row join broadcast:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"cells, offsets, and the verdict pass reuse the persisted doc frame:\n$plan")
+    assert(nodeCount(plan, "Scan parquet") <= 1,
+      s"the corpus tokenizes once:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("t32: the per-source cap runs on the native bounded heap, not a window sort") {
+    val df = graft.ops.PipelineOps.t32_domain_cap(spark, sfDir)
+    val plan = formatted(df)
+    assert(plan.contains("TopKPerGroup"),
+      s"K-selection must be the native bounded-heap operator:\n$plan")
+    assert(nodeCount(plan, "Window") == 0,
+      s"no row_number window sort anywhere:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("InMemoryTableScan"),
+      s"kept-side and totals reuse the persisted compact frame:\n$plan")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
 }
