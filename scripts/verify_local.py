@@ -40,6 +40,15 @@ def main():
     only = set(argv[2:])
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    # Bound the oracle runner: an uncapped DuckDB hits the container's
+    # OOM killer on the heaviest sf10 oracles (rc=137 mid-sweep, losing
+    # the whole artifact). A memory cap + disk spill turns that into a
+    # slower-but-finishing run. Override with DUCKDB_MEM.
+    mem = os.environ.get("DUCKDB_MEM", "48GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    spill = os.environ.get("DUCKDB_TMP", "/tmp/duckspill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(t)[: -len(".parquet")]
         src = f"{t}/*.parquet" if os.path.isdir(t) else t

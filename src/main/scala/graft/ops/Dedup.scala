@@ -187,7 +187,7 @@ object Dedup {
       val key = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS bkey FROM sig"
     }.mkString("\n      UNION ALL ")
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
        |    ELSE [array_to_string(toks, ' ')] END) AS shingles
@@ -196,16 +196,16 @@ object Dedup {
        |hashed AS (
        |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |      $minExprs
        |  FROM hashed GROUP BY doc_id),
-       |exploded AS (
+       |exploded AS MATERIALIZED (
        |      $bandRows),
        |buckets AS (
        |  SELECT band, bkey FROM exploded GROUP BY band, bkey
        |  HAVING COUNT(*) BETWEEN 2 AND 100),
-       |members AS (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
+       |members AS MATERIALIZED (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
        |cand AS (
        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
        |  FROM members l JOIN members r
@@ -292,7 +292,7 @@ object Dedup {
     val bandRows = (0 until SIM_BANDS).map { b =>
       s"SELECT doc_id, simhash, $b AS band, (simhash >> ${SIM_BAND_BITS * b}) & ${(1 << SIM_BAND_BITS) - 1} AS bkey FROM sim"
     }.mkString("\n      UNION ALL ")
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
        |    ELSE [array_to_string(toks, ' ')] END) AS shingles
@@ -305,13 +305,13 @@ object Dedup {
        |  SELECT doc_id,
        |      $voteExprs
        |  FROM hashed GROUP BY doc_id),
-       |sim AS (SELECT doc_id, $simExpr AS simhash FROM votes),
-       |exploded AS (
+       |sim AS MATERIALIZED (SELECT doc_id, $simExpr AS simhash FROM votes),
+       |exploded AS MATERIALIZED (
        |      $bandRows),
        |buckets AS (
        |  SELECT band, bkey FROM exploded GROUP BY band, bkey
        |  HAVING COUNT(*) BETWEEN 2 AND 200),
-       |members AS (SELECT e.doc_id, e.simhash, e.band, e.bkey
+       |members AS MATERIALIZED (SELECT e.doc_id, e.simhash, e.band, e.bkey
        |            FROM exploded e JOIN buckets USING (band, bkey)),
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
@@ -367,13 +367,13 @@ object Dedup {
     * arithmetic (integer intersection / (|A|+|B|-inter), rounded once).
     */
   val d4_oracle: String =
-    """WITH sh AS (
+    """WITH sh AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
       |    ELSE [array_to_string(toks, ' ')] END) AS shingles
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |        FROM documents)),
-      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |inv AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
       |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND GREATEST(20, (SELECT COUNT(*) // 250 FROM documents))),
       |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
@@ -429,13 +429,13 @@ object Dedup {
 
   /** DuckDB mirror of d9: d4's index, directional containment emit. */
   val d9_oracle: String =
-    """WITH sh AS (
+    """WITH sh AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
       |    ELSE [array_to_string(toks, ' ')] END) AS shingles
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |        FROM documents)),
-      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |inv AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
       |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND GREATEST(20, (SELECT COUNT(*) // 250 FROM documents))),
       |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
@@ -501,13 +501,13 @@ object Dedup {
 
   /** DuckDB mirror of d7: d4's candidate CTE, then levenshtein verify. */
   val d7_oracle: String =
-    """WITH sh AS (
+    """WITH sh AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
       |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
       |    ELSE [array_to_string(toks, ' ')] END) AS shingles
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |        FROM documents)),
-      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |inv AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
       |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND GREATEST(20, (SELECT COUNT(*) // 250 FROM documents))),
       |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
@@ -707,7 +707,7 @@ object Dedup {
       |    ELSE [array_to_string(toks, ' ')] END) AS shingles
       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       |        FROM documents)),
-      |inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |inv AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
       |rare AS (SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(*) BETWEEN 2 AND GREATEST(20, (SELECT COUNT(*) // 250 FROM documents))),
       |cand AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b
       |         FROM (SELECT i.doc_id, i.shingle FROM inv i JOIN rare USING (shingle)) l
@@ -998,7 +998,7 @@ object Dedup {
       val key = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS bkey FROM sig"
     }.mkString("\n      UNION ALL ")
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
        |    ELSE [array_to_string(toks, ' ')] END) AS shingles
@@ -1007,11 +1007,11 @@ object Dedup {
        |hashed AS (
        |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |      $minExprs
        |  FROM hashed GROUP BY doc_id),
-       |exploded AS (
+       |exploded AS MATERIALIZED (
        |      $bandRows),
        |trainb AS (SELECT * FROM exploded WHERE doc_id % 100 < 80),
        |evalb AS (SELECT doc_id AS eval_id, band, bkey FROM exploded
@@ -1312,7 +1312,7 @@ object Dedup {
     val eqTerms = (0 until K)
       .map(k => s"CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH sh AS (
+    s"""WITH sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
        |    ELSE [array_to_string(toks, ' ')] END) AS shingles
@@ -1321,16 +1321,16 @@ object Dedup {
        |hashed AS (
        |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |      $minExprs
        |  FROM hashed GROUP BY doc_id),
-       |exploded AS (
+       |exploded AS MATERIALIZED (
        |      $bandRows),
        |buckets AS (
        |  SELECT band, bkey FROM exploded GROUP BY band, bkey
        |  HAVING COUNT(*) BETWEEN 2 AND 100),
-       |members AS (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
+       |members AS MATERIALIZED (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
        |cand AS (
        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
        |  FROM members l JOIN members r
@@ -1481,16 +1481,16 @@ object Dedup {
        |hashed AS (
        |  SELECT doc_id, ('0x' || substr(sha256(s), 1, 8))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM base)),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id,
        |      $minExprs
        |  FROM hashed GROUP BY doc_id),
-       |exploded AS (
+       |exploded AS MATERIALIZED (
        |      $bandRows),
        |buckets AS (
        |  SELECT band, bkey FROM exploded GROUP BY band, bkey
        |  HAVING COUNT(*) BETWEEN 2 AND 100),
-       |members AS (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
+       |members AS MATERIALIZED (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
        |cand AS (
        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
        |  FROM members l JOIN members r
