@@ -15,7 +15,8 @@ import sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+          "orders", "lineitem", "events", "documents", "embeddings",
+          "edges"]  # edges: OpGen's graph-family fuzz corpus
 
 
 def canon_val(v):

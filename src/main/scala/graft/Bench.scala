@@ -37,6 +37,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.init(spark)
 
     // SPARK_GRAFT_BENCH_ONLY=d2,q35,s6 runs a subset (short or full ids) —
     // for targeted scale spot-runs (e.g. sf10) where generating + timing

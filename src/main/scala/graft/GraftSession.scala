@@ -44,8 +44,21 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
+    init(spark)
     spark
+  }
+
+  /** Session-level extension surface (what `spark.sql.extensions=
+    * graft.functions.GraftExtensions` gives a platform-built session):
+    * the SQL function registry and the window-top-k auto-rewrite —
+    * DEFAULT-ON since round 11 (semantics proven by TopKPerGroupSpec;
+    * gated by the QueryGen differential fuzz net, whose window queries
+    * keep running green through the rewrite). Idempotent; callers that
+    * build their own SparkSession should run this once after creation.
+    */
+  def init(spark: SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.plans.TopKPerGroup.enableAutoRewrite(spark)
   }
 }
 

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.init(spark)
     new java.io.File(outDir).mkdirs()
     // A failed entry must be LOUD: round 7's silent skip left 8 broken
     // entries simply absent from the driver's correctness artifact, and

@@ -70,6 +70,14 @@ object HashExpressions {
     */
   def shaSimHash(shingles: Column, bits: Int): Column =
     ExpressionUtils.column(ShaSimHash(ExpressionUtils.expression(shingles), bits))
+
+  /** array<string> tokens → array<struct<bigram,cnt>> of the row's
+    * DISTINCT adjacent-pair bigrams with occurrence counts, in one
+    * generated loop (first-occurrence order; empty for <2 tokens).
+    */
+  def bigramCounts(tokens: Column): Column =
+    ExpressionUtils.column(BigramCounts(ExpressionUtils.expression(tokens)))
+
 }
 
 /** The engine-independent signature arithmetic shared by the Spark
@@ -437,4 +445,68 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
+}
+
+/** Loop helper behind [[BigramCounts]] (shared by eval and codegen). */
+object GraftBigrams {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct adjacent-pair bigrams of a token array with counts, in
+    * first-occurrence order. Null tokens are skipped (neither pair they
+    * would participate in is emitted); <2 usable tokens → empty array.
+    */
+  def bigramCounts(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n - 1) {
+      if (!toks.isNullAt(i) && !toks.isNullAt(i + 1)) {
+        val bg = UTF8String.concat(toks.getUTF8String(i), Space, toks.getUTF8String(i + 1))
+        val slot = m.get(bg)
+        if (slot == null) m.put(bg, Array(1L)) else slot(0) += 1L
+      }
+      i += 1
+    }
+    val rows = new Array[Any](m.size)
+    var j = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      rows(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+/** Per-row distinct-bigram counting (t16's LM front end): replaces a
+  * 4-stage higher-order-function chain (transform → array_sort → filter
+  * → transform, each lambda interpreted per element) with one generated
+  * hash-map loop — the pair stream leaves the scan already collapsed to
+  * distinct (bigram, cnt) per document, and no shuffle ever carries raw
+  * occurrences.
+  */
+case class BigramCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bigram", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bigram_counts requires array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftBigrams.bigramCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftBigrams.bigramCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+    copy(child = newChild)
 }

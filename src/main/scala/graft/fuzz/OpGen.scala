@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * integer-exact semantics. FuzzSpec runs both and compares
   * row-for-row.
   *
-  * Three families, chosen because their oracle entries have the most
+  * Five families, chosen because their oracle entries have the most
   * parameter surface:
   *   - n-gram inverted-index Jaccard dedup (d4's shape: distinct
   *     n-shingles → df-capped inverted index → bucket-joined pair
@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   *     permille mean word length, permille stopword ratio, a
   *     conjunctive keep verdict);
   *   - greedy sequence packing (p7's shape: running token cumsum over
-  *     doc order, chunk id = prefix DIV seq_len).
+  *     doc order, chunk id = prefix DIV seq_len);
+  *   - ANN hyperplane bucketing + multiprobe candidate generation
+  *     (s2/s5's shape, exercising the PRODUCTION Similarity.withUnit /
+  *     withHyperplaneBucket / bucketSql helpers across plane counts,
+  *     seeds, and probe fan-outs);
+  *   - fixed-round graph recurrences (g4's shape: min-label
+  *     propagation unrolled to `rounds` steps under a degree-cap
+  *     threshold).
   *
   * Determinism rules (same discipline as QueryGen): integer permille
   * arithmetic only (x·1000 DIV y — no float division), corpora built
@@ -230,16 +237,177 @@ object OpGen {
        |SELECT doc_id, n_toks, CAST(cum_before // ${p.seqLen} AS BIGINT) AS chunk_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ family: ann
+
+  final case class AnnParams(planes: Int, seed: Long, probes: Int, nQueries: Int)
+
+  def drawAnn(rng: Rng): AnnParams =
+    AnnParams(
+      planes = rng.pick(Seq(4, 6, 8)),
+      seed = rng.pick(Seq(7L, 11L, 42L)),
+      probes = 1 + rng.nextInt(3),
+      nQueries = 4 + rng.nextInt(5))
+
+  final case class Vec(vecId: Long, embedding: Seq[Double])
+
+  /** Deterministic random embedding corpus (production shape: dim 64,
+    * the dimension the hyperplane helpers and their oracle literals
+    * assume). ~25% exact clones of earlier vectors guarantee populated
+    * buckets; one forced component keeps every norm nonzero.
+    */
+  def vectors(rng: Rng, nVecs: Int): Seq[Vec] = {
+    val dim = 64
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    (0 until nVecs).foreach { i =>
+      val v: Seq[Double] =
+        if (i > 2 && rng.chance(25)) out(rng.nextInt(out.size))
+        else {
+          val a = Array.fill(dim)((rng.nextInt(19) - 9).toDouble)
+          a(i % dim) = (1 + rng.nextInt(9)).toDouble
+          a.toSeq
+        }
+      out += v
+    }
+    out.zipWithIndex.map { case (v, i) => Vec(i.toLong, v) }.toSeq
+  }
+
+  /** s2/s5-shaped parameterized ANN candidate generation: production
+    * bucketing helpers (graft.ops.Similarity.withUnit /
+    * withHyperplaneBucket — the REAL code under test) assign hyperplane
+    * cells; each query probes its own cell plus `probes` Hamming-1
+    * neighbors; the per-query candidate report is integer-exact.
+    */
+  def annSpark(embeddings: DataFrame, p: AnnParams): DataFrame = {
+    val b = graft.ops.Similarity
+      .withHyperplaneBucket(graft.ops.Similarity.withUnit(embeddings), p.planes, p.seed)
+      .select(col("vec_id"), col("bucket"))
+    val q = b.filter(col("vec_id") < p.nQueries)
+      .select(col("vec_id").as("query_id"), explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${p.probes - 1}), " +
+          "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))")).as("pb"))
+    q.join(b, q("pb") === b("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_cand"),
+        min("vec_id").as("min_cand"),
+        sum("vec_id").cast("long").as("cand_id_sum"))
+      .orderBy("query_id")
+  }
+
+  def annSql(p: AnnParams): String = {
+    val bucket = graft.ops.Similarity.bucketSql(p.planes, p.seed, "unit")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vecd
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id,
+       |    list_transform(vecd, x -> x / sqrt(list_dot_product(vecd, vecd))) AS unit
+       |  FROM v),
+       |b AS MATERIALIZED (SELECT vec_id, $bucket AS bucket FROM u),
+       |probes AS (
+       |  SELECT vec_id AS query_id,
+       |    unnest([bucket] || list_transform(range(0, ${p.probes}),
+       |      j -> xor(bucket, (1::BIGINT << j)))) AS pb
+       |  FROM b WHERE vec_id < ${p.nQueries})
+       |SELECT p.query_id, COUNT(*) AS n_cand, MIN(b.vec_id) AS min_cand,
+       |  CAST(SUM(b.vec_id) AS BIGINT) AS cand_id_sum
+       |FROM probes p JOIN b ON b.bucket = p.pb
+       |WHERE b.vec_id <> p.query_id
+       |GROUP BY p.query_id ORDER BY p.query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------- family: graph
+
+  final case class GraphParams(rounds: Int, degCap: Int)
+
+  def drawGraph(rng: Rng): GraphParams =
+    GraphParams(rounds = 1 + rng.nextInt(4), degCap = rng.pick(Seq(2, 4, 8, 16)))
+
+  final case class Edge(src: Long, dst: Long)
+
+  /** Deterministic random multigraph (parallel edges kept on purpose —
+    * degree counts them, a threshold-parameter edge case).
+    */
+  def edgesGen(rng: Rng, nNodes: Int): Seq[Edge] = {
+    val nEdges = nNodes + rng.nextInt(2 * nNodes)
+    (0 until nEdges).flatMap { _ =>
+      val s = rng.nextInt(nNodes)
+      val d = rng.nextInt(nNodes)
+      if (s == d) None else Some(Edge(s.toLong, d.toLong))
+    }
+  }
+
+  /** g4-shaped fixed-round min-label propagation with a degree-cap
+    * threshold: nodes over the cap keep their label but stop relaying
+    * (their edges drop out) — the (rounds, threshold) recurrence the
+    * graph family's production operators iterate, unrolled to exactly
+    * `rounds` joined steps on both engines.
+    */
+  def graphSpark(edges: DataFrame, p: GraphParams): DataFrame = {
+    val deg = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ok = deg.filter(col("deg") <= p.degCap).select("node")
+    val e = edges.join(ok.withColumnRenamed("node", "src"), Seq("src"))
+      .join(ok.withColumnRenamed("node", "dst"), Seq("dst"))
+    val sym = e.select("src", "dst")
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    var lbl = deg.select(col("node"), col("node").cast("long").as("label"))
+    (1 to p.rounds).foreach { _ =>
+      val nb = sym.join(lbl.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy("src").agg(min("label").as("nbmin"))
+      lbl = lbl.join(nb.select(col("src").as("node"), col("nbmin")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbmin"), col("label"))).as("label"))
+    }
+    lbl.orderBy("node")
+  }
+
+  def graphSql(p: GraphParams): String = {
+    val steps = (1 to p.rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT l.node, LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+         |  FROM l${r - 1} l
+         |  LEFT JOIN sym s ON s.src = l.node
+         |  LEFT JOIN l${r - 1} n ON n.node = s.dst
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH deg AS MATERIALIZED (
+       |  SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+       |  GROUP BY node),
+       |ok AS (SELECT node FROM deg WHERE deg <= ${p.degCap}),
+       |e AS (
+       |  SELECT edges.src, edges.dst FROM edges
+       |  JOIN ok o1 ON o1.node = edges.src
+       |  JOIN ok o2 ON o2.node = edges.dst),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |l0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS label FROM deg),
+       |$steps
+       |SELECT node, label FROM l${p.rounds} ORDER BY node""".stripMargin
+  }
+
   // ------------------------------------------------------------ draws
 
-  final case class Draw(seed: Long, docs: Seq[Doc],
-      dedup: DedupParams, quality: QualityParams, pack: PackParams)
+  final case class Draw(seed: Long, docs: Seq[Doc], vecs: Seq[Vec], edges: Seq[Edge],
+      dedup: DedupParams, quality: QualityParams, pack: PackParams,
+      ann: AnnParams, graph: GraphParams)
 
-  /** One fully seeded draw: corpus + a parameter vector per family. */
+  /** One fully seeded draw: corpora + a parameter vector per family. */
   def draw(seed: Long): Draw = {
     val rng = new Rng(seed)
     val docs = corpus(rng, 40 + rng.nextInt(80))
-    Draw(seed, docs, drawDedup(rng), drawQuality(rng), drawPack(rng))
+    val dedup = drawDedup(rng)
+    val quality = drawQuality(rng)
+    val pack = drawPack(rng)
+    // r10 families above drew from the stream in this exact order; the
+    // r11 additions draw strictly AFTER them so seeds 101-112 keep
+    // generating the identical docs/params (the committed digest moves
+    // only by the appended vec/edge/ann/graph material).
+    val vecs = vectors(rng, 40 + rng.nextInt(40))
+    val edges = edgesGen(rng, 20 + rng.nextInt(40))
+    Draw(seed, docs, vecs, edges, dedup, quality, pack, drawAnn(rng), drawGraph(rng))
   }
 
   /** Stable digest of everything a seed generates — FuzzSpec pins this
@@ -249,16 +417,28 @@ object OpGen {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     seeds.foreach { s =>
       val d = draw(s)
-      md.update(s"$s|${d.dedup}|${d.quality}|${d.pack}\n".getBytes("UTF-8"))
+      md.update(s"$s|${d.dedup}|${d.quality}|${d.pack}|${d.ann}|${d.graph}\n".getBytes("UTF-8"))
       d.docs.foreach(doc => md.update(s"${doc.docId}:${doc.text}\n".getBytes("UTF-8")))
+      d.vecs.foreach(v => md.update(
+        s"${v.vecId}:${v.embedding.mkString(",")}\n".getBytes("UTF-8")))
+      d.edges.foreach(e => md.update(s"${e.src}>${e.dst}\n".getBytes("UTF-8")))
     }
     md.digest().map("%02x".format(_)).mkString
   }
 
-  def register(spark: SparkSession, d: Draw, dir: String): DataFrame = {
+  final case class Registered(docs: DataFrame, embeddings: DataFrame, edges: DataFrame)
+
+  def register(spark: SparkSession, d: Draw, dir: String): Registered = {
     import spark.implicits._
-    val df = d.docs.map(x => (x.docId, x.text)).toDF("doc_id", "text")
-    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    spark.read.parquet(s"$dir/documents.parquet")
+    d.docs.map(x => (x.docId, x.text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    d.vecs.map(x => (x.vecId, x.embedding)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    d.edges.map(x => (x.src, x.dst)).toDF("src", "dst")
+      .write.mode("overwrite").parquet(s"$dir/edges.parquet")
+    Registered(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      spark.read.parquet(s"$dir/edges.parquet"))
   }
 }

@@ -225,11 +225,19 @@ final class ModelEngine(spark: SparkSession) {
     } else if (fs.exists(oldP)) {
       // crashed between rename-aside and rename-in: roll back to old
       if (fs.exists(nextP)) fs.delete(nextP, true)
-      fs.rename(oldP, hPath)
+      require(fs.rename(oldP, hPath),
+        s"snapshot '$name': recovery rename $oldP -> $hPath failed")
     } else if (fs.exists(nextP)) {
       // legacy delete-then-rename crash: .next holds the full merged
-      // history — roll FORWARD (deleting it would discard SCD2 history)
-      fs.rename(nextP, hPath)
+      // history — roll FORWARD (deleting it would discard SCD2 history).
+      // Only if its parquet commit marker exists, though: a torn write
+      // on a FIRST snapshot run (no live table, no .old to roll back
+      // to) also lands here, and promoting a partial .next would
+      // silently seed the SCD2 history from incomplete data.
+      if (fs.exists(new org.apache.hadoop.fs.Path(nextP, "_SUCCESS")))
+        require(fs.rename(nextP, hPath),
+          s"snapshot '$name': recovery rename $nextP -> $hPath failed")
+      else fs.delete(nextP, true)
     }
     val payload = current.columns.filterNot(_ == key).toSeq
     val Array(nRows, nKeys) = current
@@ -274,9 +282,16 @@ final class ModelEngine(spark: SparkSession) {
       }
     merged.write.mode("overwrite").parquet(nextP.toString)
     // crash-safe swap: aside → in → drop aside (recovery above handles
-    // a crash at any point; the path is never left absent)
-    if (fs.exists(hPath)) fs.rename(hPath, oldP)
-    fs.rename(nextP, hPath)
+    // a crash at any point; the path is never left absent). Hadoop
+    // rename reports failure by RETURNING false, not throwing — an
+    // ignored false on the aside rename would leave the live path
+    // absent and turn the next run into a history-discarding first run,
+    // the exact failure this swap exists to prevent; so every rename
+    // result is asserted.
+    if (fs.exists(hPath)) require(fs.rename(hPath, oldP),
+      s"snapshot '$name': swap rename $hPath -> $oldP failed")
+    require(fs.rename(nextP, hPath),
+      s"snapshot '$name': swap rename $nextP -> $hPath failed")
     if (fs.exists(oldP)) fs.delete(oldP, true)
     spark.read.parquet(path)
   }

@@ -862,10 +862,23 @@ object Dedup {
     * extra job is a count(). [oracle]
     */
   def d10_semdedup(spark: SparkSession, dir: String): DataFrame = {
-    val unit = Similarity.withUnit(Tables(spark, dir).embeddings)
-      .select(col("vec_id"), col("unit")).persistTracked
-    val nPlanes = semDedupPlanes(unit.count())
-    val cells = Similarity.withHyperplaneBucket(unit, nPlanes, seed = 11L)
+    // The plane ladder needs the corpus count before the plan exists —
+    // counting the RAW parquet is footer-metadata-only (no normalization
+    // pass materializes), and withUnit preserves row count, so the
+    // ladder input is identical. Normalization + bucketing fuse into a
+    // single persisted frame (the old separate `unit` persist cost a
+    // full extra materialization of the corpus just to be counted). The
+    // size guard stays an aggregate + semi-join: it moves only (cell)
+    // keys. Two measured dead ends at sf1, kept out on purpose: a
+    // cell-partitioned window for the guard sorts the WIDE unit arrays
+    // (3.5s vs 2.8s), and fusing the whole within-cell scan into a
+    // collect_list + generated per-cell loop pays object-aggregation
+    // buffer churn on the unit arrays (3.5-6s) — the codegen'd
+    // self-join below beats both.
+    val emb = Tables(spark, dir).embeddings
+    val nPlanes = semDedupPlanes(emb.count())
+    val cells = Similarity.withHyperplaneBucket(
+        Similarity.withUnit(emb), nPlanes, seed = 11L)
       .select(col("vec_id"), col("unit"), col("bucket").as("cell"))
       .persistTracked
     val ok = cells.groupBy("cell").count()

@@ -1536,6 +1536,15 @@ object PipelineOps {
   private val BudgetShards = 32 // prefix-sum parallelism knob (~100k at 100 TB)
   private val BandWidth = 250   // quality-band coarseness (mean-len permille)
 
+  /** Bands saturate here (mean token length ≥ 100 chars is degenerate
+    * either way), making the offset-ladder cell table ≤ (MaxBand+1) ×
+    * BudgetShards rows BY CONSTRUCTION — the unpartitioned window in
+    * p10's phase 1 is safe at any corpus because no data distribution
+    * can grow the cell table, not because today's data happens to be
+    * tame.
+    */
+  private val MaxBand = 400
+
   /** p10_token_budget — select the best-quality corpus prefix that fits
     * a token budget: the greedy knapsack every training run executes
     * when compute (not data) is the binding constraint ("train on the
@@ -1565,7 +1574,7 @@ object PipelineOps {
         expr(s"CAST(size(${TextOps.TOKENS}) AS BIGINT)").as("ntok"),
         expr(s"aggregate(${TextOps.TOKENS}, 0L, (a, x) -> a + length(x))").as("nchar"))
       .withColumn("band", expr(
-        s"(CASE WHEN ntok = 0 THEN 0L ELSE nchar * 1000L DIV ntok END) DIV $BandWidth"))
+        s"least((CASE WHEN ntok = 0 THEN 0L ELSE nchar * 1000L DIV ntok END) DIV $BandWidth, ${MaxBand}L)"))
       .withColumn("shard",
         pmod(sha256PrefixLong(col("doc_id").cast("string"), 15), lit(BudgetShards.toLong)))
       .withColumn("tick",
@@ -1617,7 +1626,7 @@ object PipelineOps {
        |    ('0x' || substr(sha256('budget' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS tick
        |  FROM documents),
        |banded AS (
-       |  SELECT *, (CASE WHEN ntok = 0 THEN 0 ELSE nchar * 1000 // ntok END) // $BandWidth AS band
+       |  SELECT *, LEAST((CASE WHEN ntok = 0 THEN 0 ELSE nchar * 1000 // ntok END) // $BandWidth, $MaxBand) AS band
        |  FROM docs),
        |b AS (SELECT CAST(SUM(ntok) * 2 // 5 AS BIGINT) AS budget FROM docs),
        |placed AS (

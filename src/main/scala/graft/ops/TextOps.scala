@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Caching.PersistSyntax
 
@@ -358,34 +359,30 @@ object TextOps {
     * c_bigram — order-isomorphic to -log p(w2|w1) per transition) so the
     * whole operator is engine-independent, like t12's idf.
     *
-    * Scale shape: the exploded occurrence stream collapses immediately
-    * into distinct (doc_id, bigram, cnt) pairs (map-side combine), and
-    * THAT compact frame is what gets persisted and used twice — once
-    * aggregated into the LM table, once joined back for scoring with
-    * counts multiplied through. The LM join is keyed on the bigram;
-    * Catalyst/AQE broadcasts the stats side when the vocabulary is
-    * small and shuffle-joins when it isn't (at 100 TB the LM table is
-    * itself big — there is no driver-side model object anywhere).
-    * [oracle]
+    * Scale shape: distinct (doc_id, bigram, cnt) pairs are produced
+    * NARROWLY — one generated hash-map loop per document
+    * (graft.functions.BigramCounts; a 4-pass interpreted higher-order
+    * chain measured 3× slower) — so no shuffle ever carries the raw
+    * occurrence stream. The LM statistics are then vocabulary-sized: a
+    * skew-free partial-aggregated groupBy(bigram) for c_big, and c_pref
+    * as a window over those per-bigram rows keyed on the first word
+    * (the window's partition is "distinct bigrams sharing a first
+    * word" — bounded by vocabulary, NOT by corpus, so a hot word like
+    * "the" never concentrates occurrence rows). The compact pair frame
+    * is persisted across its two uses (LM aggregate + join-back); the
+    * join-back is AQE-broadcast while the LM fits and a shuffle join
+    * when the vocabulary itself is big. No driver-side model object
+    * exists anywhere. [oracle]
     */
   def t16_lm_surprisal(spark: SparkSession, dir: String): DataFrame = {
-    // Pre-aggregate the exploded occurrence stream into DISTINCT
-    // (doc_id, bigram) pairs carrying an occurrence count — map-side
-    // combine shrinks the shuffle, and everything downstream (the
-    // persist, the LM join-back, the doc aggregate) then moves
-    // distinct-pair rows instead of raw occurrences. The corpus-sized
-    // exploded frame is never persisted.
     val pairs = Tables(spark, dir).documents
-      .select(col("doc_id"), expr(TOKENS).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashExpressions.bigramCounts(expr(TOKENS))).as("p"))
+      .select(col("doc_id"), col("p.bigram").as("bigram"), col("p.cnt").as("cnt"))
       .persistTracked
-    val bigStats = pairs.groupBy("bigram").agg(sum("cnt").cast("long").as("c_big"))
-      .withColumn("w1", expr("split_part(bigram, ' ', 1)"))
-    val prefStats = bigStats.groupBy("w1").agg(sum("c_big").cast("long").as("c_pref"))
-    val lm = bigStats.join(prefStats, "w1").select("bigram", "c_big", "c_pref")
+    val lm = pairs.groupBy("bigram").agg(sum("cnt").cast("long").as("c_big"))
+      .withColumn("c_pref", sum("c_big")
+        .over(Window.partitionBy(expr("split_part(bigram, ' ', 1)"))).cast("long"))
     pairs.join(lm, "bigram")
       .withColumn("surprisal", expr("c_pref * 1000000L DIV c_big"))
       .groupBy("doc_id")

@@ -108,7 +108,9 @@ case class TopKPerGroupExec(
   * is the bounded-heap operator. (Spark's own InferWindowGroupLimit
   * reduces rows entering the window since 3.5, but still sorts every
   * group and runs the window; this rewrite removes the sort+window
-  * entirely.) Opt-in via TopKPerGroup.enableAutoRewrite(spark).
+  * entirely.) DEFAULT-ON for graft sessions (GraftSession.init /
+  * GraftExtensions) under the QueryGen differential fuzz gate; foreign
+  * sessions opt in via TopKPerGroup.enableAutoRewrite(spark).
   */
 object TopKWindowRewrite extends Rule[LogicalPlan] {
   private def limit(cond: Expression, rn: Attribute): Option[Int] = cond match {

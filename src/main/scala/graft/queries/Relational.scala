@@ -577,7 +577,7 @@ object Relational {
     * keep the output compact. [oracle]
     */
   def q61_temporal_join(spark: SparkSession, dir: String): DataFrame = {
-    val dim = q48_scd2(spark, dir)
+    val dim = scd2Frame(spark, dir)
       .select(col("user_id"), col("version"), col("event_type").as("dim_type"),
         col("valid_from_us"), col("valid_to_us"))
     val facts = Tables(spark, dir).events
@@ -1141,7 +1141,16 @@ object Relational {
     * window reuses the first's sort). Timestamps emitted as epoch micros
     * (BIGINT) per the cross-engine discipline. [oracle]
     */
-  def q48_scd2(spark: SparkSession, dir: String): DataFrame = {
+  def q48_scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Frame(spark, dir).orderBy("user_id", "version")
+
+  /** The SCD2 derivation WITHOUT the presentation sort — shared by q48
+    * (which adds the ORDER BY) and q61 (which joins it: the frame leaves
+    * here hash-partitioned on user_id from the window shuffle, so the
+    * temporal join consumes it with no further exchange — a global sort
+    * in the middle would range-repartition it for nothing).
+    */
+  def scd2Frame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
     Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -1153,7 +1162,6 @@ object Relational {
       .select(col("user_id"), col("version"), col("event_type"),
         col("us").as("valid_from_us"), col("valid_to_us"),
         col("valid_to_us").isNull.as("is_current"))
-      .orderBy("user_id", "version")
   }
 
   /** q47_exists — the CORRELATED subquery family q11 (uncorrelated

@@ -88,19 +88,20 @@ class FuzzSpec extends SparkSpec {
 
   // -------------------------------------------- operator-family fuzz
 
-  /** Seeds for the operator-parameter fuzz (VERDICT r9 item 6): 12
-    * draws × 3 families (dedup, quality, packing) = 36 differential
-    * checks beyond the SQL grammar. Seed-pinned via the digest below.
+  /** Seeds for the operator-parameter fuzz (VERDICT r9 item 6, ANN +
+    * graph families added per VERDICT r10 item 5): 12 draws × 5
+    * families = 60 differential checks beyond the SQL grammar.
+    * Seed-pinned via the digest below.
     */
   private val opSeeds: Seq[Long] = (101L to 112L)
 
   test("op fuzz: the seeded draws regenerate bit-identically") {
     assert(graft.fuzz.OpGen.digest(opSeeds) ==
-      "5c871903bbd2ef31d7d59f5b591dd40df42218d7892fd37afd924674fe547dfe",
+      "4c2d4cb6d01755c575a6d854d2a2928abe5ed8c645a8dca29a0caf4c11322b3a",
       "OpGen drifted — parameter/corpus coverage changed; update the pin deliberately")
   }
 
-  test("op fuzz: dedup, quality, and packing families match DuckDB on random corpora") {
+  test("op fuzz: dedup, quality, packing, ann, and graph families match DuckDB on random corpora") {
     val py = new java.io.File("/usr/bin/python3")
     assume(py.exists, "python3 unavailable — differential half skipped")
     import graft.fuzz.OpGen
@@ -109,12 +110,15 @@ class FuzzSpec extends SparkSpec {
     for (seed <- opSeeds) {
       val d = OpGen.draw(seed)
       val dir = java.nio.file.Files.createTempDirectory(s"graft_opfuzz_$seed").toString
-      val docs = OpGen.register(spark, d, dir)
+      val reg = OpGen.register(spark, d, dir)
+      val docs = reg.docs
 
       val sqls = Map(
         "dedup" -> OpGen.dedupSql(d.dedup),
         "quality" -> OpGen.qualitySql(d.quality),
-        "pack" -> OpGen.packSql(d.pack))
+        "pack" -> OpGen.packSql(d.pack),
+        "ann" -> OpGen.annSql(d.ann),
+        "graph" -> OpGen.graphSql(d.graph))
       val corpusPath = java.nio.file.Paths.get(dir, "corpus.json")
       java.nio.file.Files.writeString(corpusPath,
         sqls.map { case (k, v) =>
@@ -134,12 +138,16 @@ class FuzzSpec extends SparkSpec {
       val sparkSides = Map(
         "dedup" -> OpGen.dedupSpark(docs, d.dedup),
         "quality" -> OpGen.qualitySpark(docs, d.quality),
-        "pack" -> OpGen.packSpark(docs, d.pack))
+        "pack" -> OpGen.packSpark(docs, d.pack),
+        "ann" -> OpGen.annSpark(reg.embeddings, d.ann),
+        "graph" -> OpGen.graphSpark(reg.edges, d.graph))
       for ((fam, df) <- sparkSides) {
         val tag = s"seed=$seed $fam params=${fam match {
           case "dedup" => d.dedup.toString
           case "quality" => d.quality.toString
-          case _ => d.pack.toString }}"
+          case "pack" => d.pack.toString
+          case "ann" => d.ann.toString
+          case _ => d.graph.toString }}"
         oracle.get(fam) match {
           case None => failures += s"$tag: missing from oracle output"
           case Some(Left(err)) => failures += s"$tag: DuckDB error $err"

@@ -26,7 +26,7 @@ class Round10OpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long, Long)].collect()
     val budget = docs.map(_._3).sum * 2 / 5
     val ordered = docs.map { case (id, src, ntok, nchar, shard, tick) =>
-      val band = (if (ntok == 0) 0L else nchar * 1000L / ntok) / 250L
+      val band = math.min((if (ntok == 0) 0L else nchar * 1000L / ntok) / 250L, 400L)
       (id, src, ntok, band, shard, tick)
     }.sortBy { case (id, _, _, band, shard, tick) => (-band, shard, tick, id) }
     var cum = 0L
