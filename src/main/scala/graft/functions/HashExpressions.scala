@@ -78,6 +78,16 @@ object HashExpressions {
   def bigramCounts(tokens: Column): Column =
     ExpressionUtils.column(BigramCounts(ExpressionUtils.expression(tokens)))
 
+  /** array<float|double> → L2-normalized array<double> in one generated
+    * two-pass loop (sum of squares, then divide). Replaces the
+    * cast-transform + aggregate + divide-transform HOF chain, which the
+    * optimizer collapses into a single transform whose lambda re-runs
+    * the full sum-of-squares fold PER ELEMENT (O(d²) per row,
+    * interpreted — HOFs never enter whole-stage codegen).
+    */
+  def l2Normalize(vec: Column): Column =
+    ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(vec)))
+
 }
 
 /** The engine-independent signature arithmetic shared by the Spark
@@ -445,6 +455,66 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(left = l, right = r)
+}
+
+/** Loop helper behind [[L2Normalize]] (shared by eval and codegen). */
+object GraftVec {
+
+  /** L2-normalize in the exact IEEE order of the HOF chain it replaces:
+    * cast each element to double, sequential in-order sum-of-squares
+    * fold, then per-element divide by the sqrt. A null element matches
+    * the fold's null-poisoning (`acc + null = null` → every quotient
+    * null): the output is an all-null array of the input length.
+    */
+  def l2normalize(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](n))
+      val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      ss += v * v
+      i += 1
+    }
+    val norm = math.sqrt(ss)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = v / norm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** One-pass codegen'd L2 normalization of an embedding column — see
+  * [[HashExpressions.l2Normalize]] for why this beats the HOF chain.
+  */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_normalize requires array<float> or array<double>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftVec.l2normalize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftVec.l2normalize($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
 }
 
 /** Loop helper behind [[BigramCounts]] (shared by eval and codegen). */

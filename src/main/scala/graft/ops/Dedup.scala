@@ -884,15 +884,22 @@ object Dedup {
     val ok = cells.groupBy("cell").count()
       .filter(col("count").between(2, EmbedMaxBucket)).select("cell")
     val m = cells.join(ok, Seq("cell"), "left_semi")
-    val prior = m.as("a").join(m.as("b"),
-        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
-      .select(col("a.vec_id").as("vec_id"),
+    // LEFT self-join from ALL cells against the guarded side: a vector in
+    // a size-1 or oversized cell matches nothing → null → sentinel → keep,
+    // exactly the old anti-join-free semantics, but without a second
+    // corpus-wide join to re-attach unscored vectors. Grouping on
+    // (vec_id, cell) instead of vec_id alone lets the aggregate reuse the
+    // join's hash(cell) partitioning (every pair of a given vec_id shares
+    // its a.cell), so the max runs exchange-free where the old plan paid
+    // a hash(vec_id) shuffle plus a join-by-vec_id round.
+    val prior = cells.as("a").join(m.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"),
+        "left")
+      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
         round(Similarity.dot(col("a.unit"), col("b.unit")), 6).as("cos"))
-      .groupBy("vec_id").agg(max("cos").as("mp"))
+      .groupBy("vec_id", "cell").agg(max("cos").as("mp"))
     // sentinel -2.0 = "no earlier cellmate" (cosine is bounded below by -1)
-    cells.select("vec_id", "cell")
-      .join(prior, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
+    prior.select(col("vec_id"), col("cell"),
         coalesce(col("mp"), lit(-2.0)).as("max_prior_cosine"),
         (coalesce(col("mp"), lit(-2.0)) < SemDedupTau).as("keep"))
       .orderBy("vec_id")

@@ -28,14 +28,15 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.HashExpressions.dotProduct(a, b)
 
-  /** Adds `unit`: the L2-normalized embedding as array<double>. */
+  /** Adds `unit`: the L2-normalized embedding as array<double> — one
+    * codegen'd two-pass loop (graft.functions.L2Normalize). The old HOF
+    * chain (cast-transform → aggregate → divide-transform) collapsed
+    * under CollapseProject into a single transform whose lambda re-ran
+    * the sum-of-squares fold per ELEMENT: O(d²) per row, interpreted.
+    */
   def withUnit(embeddings: DataFrame): DataFrame =
-    embeddings
-      .withColumn("vecd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(vecd, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-      .withColumn("unit", expr("transform(vecd, x -> x / norm)"))
-      .drop("vecd", "norm")
+    embeddings.withColumn("unit",
+      graft.functions.HashExpressions.l2Normalize(col("embedding")))
 
   /** Deterministic INTEGER-valued hyperplanes: coefficient (p,d) is a
     * fixed multiplicative-hash formula of its index, so the exact same
