@@ -368,18 +368,27 @@ object TextOps {
     * as a window over those per-bigram rows keyed on the first word
     * (the window's partition is "distinct bigrams sharing a first
     * word" — bounded by vocabulary, NOT by corpus, so a hot word like
-    * "the" never concentrates occurrence rows). The compact pair frame
-    * is persisted across its two uses (LM aggregate + join-back); the
-    * join-back is AQE-broadcast while the LM fits and a shuffle join
-    * when the vocabulary itself is big. No driver-side model object
-    * exists anywhere. [oracle]
+    * "the" never concentrates occurrence rows). The pair stream feeds
+    * both the LM aggregate and the join-back by RECOMPUTING the narrow
+    * explode (t18's persist-the-compact-frame rule: caching the
+    * exploded stream measured 1.4× slower than two codegen'd explode
+    * passes at sf1); the join-back is AQE-broadcast while the LM fits
+    * and a shuffle join when the vocabulary itself is big. No
+    * driver-side model object exists anywhere. [oracle]
     */
-  def t16_lm_surprisal(spark: SparkSession, dir: String): DataFrame = {
+  def t16_lm_surprisal(spark: SparkSession, dir: String): DataFrame =
+    surprisalFrame(spark, dir).orderBy("doc_id")
+
+  /** t16's per-document surprisal WITHOUT the presentation sort — the
+    * frame t24 consumes (q61/q48's shared-frame pattern: the consumer
+    * aggregates immediately, so paying t16's corpus-wide range exchange
+    * first is pure waste).
+    */
+  private[graft] def surprisalFrame(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables(spark, dir).documents
       .select(col("doc_id"),
         explode(graft.functions.HashExpressions.bigramCounts(expr(TOKENS))).as("p"))
       .select(col("doc_id"), col("p.bigram").as("bigram"), col("p.cnt").as("cnt"))
-      .persistTracked
     val lm = pairs.groupBy("bigram").agg(sum("cnt").cast("long").as("c_big"))
       .withColumn("c_pref", sum("c_big")
         .over(Window.partitionBy(expr("split_part(bigram, ' ', 1)"))).cast("long"))
@@ -390,7 +399,6 @@ object TextOps {
         sum("cnt").cast("long").as("n_bigrams"),
         sum(expr("surprisal * cnt")).cast("long").as("sum_surprisal"))
       .withColumn("avg_surprisal", expr("sum_surprisal DIV n_bigrams"))
-      .orderBy("doc_id")
   }
 
   val t16_oracle: String =
@@ -436,8 +444,10 @@ object TextOps {
     */
   def t24_ccnet_buckets(spark: SparkSession, dir: String): DataFrame = {
     // the compact (doc_id, n_bigrams, avg_surprisal) frame is read twice
-    // (cuts aggregate + bucketing) — persist IT, not t16's exploded stream
-    val scored = t16_lm_surprisal(spark, dir)
+    // (cuts aggregate + bucketing) — persist IT, not t16's exploded
+    // stream, and take the sort-free surprisalFrame (t16's orderBy is
+    // presentation-only; re-sorting before a 3-group aggregate is waste)
+    val scored = surprisalFrame(spark, dir)
       .select("doc_id", "n_bigrams", "avg_surprisal")
       .persistTracked
     val cuts = scored.agg(
