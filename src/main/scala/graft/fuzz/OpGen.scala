@@ -407,7 +407,39 @@ object OpGen {
     // only by the appended vec/edge/ann/graph material).
     val vecs = vectors(rng, 40 + rng.nextInt(40))
     val edges = edgesGen(rng, 20 + rng.nextInt(40))
-    Draw(seed, docs, vecs, edges, dedup, quality, pack, drawAnn(rng), drawGraph(rng))
+    val ann = drawAnn(rng)
+    Draw(seed, docs, avoidZeroPlaneDots(vecs, ann), edges,
+      dedup, quality, pack, ann, drawGraph(rng))
+  }
+
+  /** Cross-engine flake guard (VERDICT r11 advice): when the exact
+    * INTEGER dot(vecd, plane) is 0, the floating dot over the normalized
+    * vector is a pure sum of rounding residues whose sign Spark and
+    * DuckDB can resolve differently — a latent bucket-bit flip. The
+    * integer corpus + integer planes make the hazard exactly decidable
+    * (every term is well under 2^53), so each drawn corpus PERTURBS any
+    * vector with a zero dot against its draw's plane set. The fix is a
+    * pure function of the vector's values, so exact clones (the ~25%
+    * that guarantee populated buckets) remain exact clones.
+    */
+  private def avoidZeroPlaneDots(vecs: Seq[Vec], p: AnnParams): Seq[Vec] = {
+    val planes = graft.ops.Similarity.integerPlanes(p.planes, 64, p.seed)
+    def hasZeroDot(e: IndexedSeq[Double]): Boolean =
+      planes.exists { w =>
+        var s = 0L
+        var i = 0
+        while (i < 64) { s += w(i) * e(i).toLong; i += 1 }
+        s == 0L
+      }
+    vecs.map { v =>
+      var e = v.embedding.toIndexedSeq
+      var attempt = 0
+      while (hasZeroDot(e)) {
+        e = e.updated(attempt % 64, e(attempt % 64) + 1.0)
+        attempt += 1
+      }
+      if (attempt == 0) v else Vec(v.vecId, e)
+    }
   }
 
   /** Stable digest of everything a seed generates — FuzzSpec pins this

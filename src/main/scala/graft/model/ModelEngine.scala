@@ -237,7 +237,22 @@ final class ModelEngine(spark: SparkSession) {
       if (fs.exists(new org.apache.hadoop.fs.Path(nextP, "_SUCCESS")))
         require(fs.rename(nextP, hPath),
           s"snapshot '$name': recovery rename $nextP -> $hPath failed")
-      else fs.delete(nextP, true)
+      else {
+        // "no marker" only means "uncommitted" when the committer writes
+        // markers at all. Object-store committers commonly disable
+        // marksuccessfuljobs — there, a fully committed .next holding
+        // the only copy of the merged history is indistinguishable from
+        // a torn write, and deleting it would destroy data: refuse and
+        // demand manual resolution instead of guessing.
+        require(spark.sparkContext.hadoopConfiguration.getBoolean(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+          s"snapshot '$name': orphan $nextP has no _SUCCESS marker and " +
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs is disabled — " +
+            "cannot tell a torn first-run write from a committed merge " +
+            "holding the only copy of the SCD2 history; inspect it and " +
+            "either rename it to the live path (complete) or delete it (torn)")
+        fs.delete(nextP, true)
+      }
     }
     val payload = current.columns.filterNot(_ == key).toSeq
     val Array(nRows, nKeys) = current

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnShim}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Descending, Expression, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
@@ -71,33 +71,154 @@ case class TopKPerGroupExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (g, s, childOut, kk) = (groupExprs, sortOrder, child.output, k)
-    child.execute().mapPartitions({ iter =>
-      val groupProj = UnsafeProjection.create(g, childOut)
-      val ordering = GenerateOrdering.generate(s, childOut)
-      // head of each heap = the WORST retained row (last under the sort
-      // order), so admission is a single O(1) peek + O(log k) replace
-      val worstFirst = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int = ordering.compare(b, a)
-      }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var pq = heaps.get(key)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](kk + 1, worstFirst)
-          heaps.put(key.copy(), pq)
-        }
-        if (pq.size < kk) pq.add(row.copy())
-        else if (ordering.compare(row, pq.peek()) < 0) { pq.poll(); pq.add(row.copy()) }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
-    }, preservesPartitioning = true)
+    val spillThreshold = conf.getConfString(
+      "spark.graft.topk.spillThresholdBytes", TopKPerGroupExec.DefaultSpillThreshold.toString).toLong
+    child.execute().mapPartitions(
+      TopKPerGroupExec.process(_, g, s, childOut, kk, spillThreshold),
+      preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+/** The per-partition top-k-per-group kernel, shared by the partial and
+  * final passes. The hash-of-heaps fast path holds ≤ k rows per group;
+  * its footprint is O(groups·k), which at very high group cardinality
+  * could exceed task memory — so retained bytes are tracked exactly
+  * (UnsafeRow sizes) and, past `spark.graft.topk.spillThresholdBytes`
+  * (default 256 MiB/task), the heaps SPILL as a group-key-sorted run and
+  * the map restarts empty. Runs are k-way merged by key at the end, one
+  * group at a time — top-k is a semilattice merge (top-k of per-run
+  * top-ks = the true top-k), so correctness is unaffected and merge
+  * memory is O(k·runs + stream buffers) regardless of group count.
+  */
+object TopKPerGroupExec {
+
+  val DefaultSpillThreshold: Long = 256L << 20
+
+  private final class RunReader(val file: java.io.File, numFields: Int) {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(file), 1 << 16))
+    var key: Array[Byte] = _
+    var rows: Array[UnsafeRow] = _
+    /** Loads the next (key, rows) block; false (and closes) at EOF. */
+    def advance(): Boolean = {
+      val kl = try in.readInt() catch {
+        case _: java.io.EOFException => in.close(); key = null; return false
+      }
+      key = new Array[Byte](kl); in.readFully(key)
+      rows = Array.fill(in.readInt()) {
+        val rl = in.readInt()
+        val b = new Array[Byte](rl); in.readFully(b)
+        val r = new UnsafeRow(numFields); r.pointTo(b, rl); r
+      }
+      true
+    }
+  }
+
+  // scalastyle:off method.length
+  def process(
+      iter: Iterator[InternalRow],
+      groupExprs: Seq[Expression],
+      sortOrder: Seq[SortOrder],
+      childOut: Seq[Attribute],
+      k: Int,
+      spillThreshold: Long): Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    val groupProj = UnsafeProjection.create(groupExprs, childOut)
+    val toUnsafe = UnsafeProjection.create(childOut, childOut)
+    val ordering = GenerateOrdering.generate(sortOrder, childOut)
+    // head of each heap = the WORST retained row (last under the sort
+    // order), so admission is a single O(1) peek + O(log k) replace
+    val worstFirst = new java.util.Comparator[UnsafeRow] {
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int = ordering.compare(b, a)
+    }
+    val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+    val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    var retainedBytes = 0L
+
+    // group keys order + equality both operate on canonical UnsafeRow
+    // bytes (one projection produced every key), so an unsigned
+    // lexicographic byte compare is a valid grouping order for the runs
+    def flush(): Unit = if (!heaps.isEmpty) {
+      val entries = heaps.entrySet().iterator().asScala.map { e =>
+        (e.getKey.getBytes, e.getValue.iterator().asScala.map(_.getBytes).toArray)
+      }.toArray.sortWith((a, b) => java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+      val f = java.io.File.createTempFile("graft-topk-spill-", ".run")
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
+      try {
+        entries.foreach { case (keyBytes, rowsBytes) =>
+          out.writeInt(keyBytes.length); out.write(keyBytes)
+          out.writeInt(rowsBytes.length)
+          rowsBytes.foreach { rb => out.writeInt(rb.length); out.write(rb) }
+        }
+      } finally out.close()
+      spills += f
+      heaps.clear()
+      retainedBytes = 0L
+    }
+
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => spills.foreach(_.delete()))
+
+    while (iter.hasNext) {
+      val row = iter.next()
+      val u = row match { case ur: UnsafeRow => ur; case other => toUnsafe(other) }
+      val key = groupProj(u)
+      var pq = heaps.get(key)
+      if (pq == null) {
+        pq = new java.util.PriorityQueue[UnsafeRow](k + 1, worstFirst)
+        val kc = key.copy()
+        heaps.put(kc, pq)
+        retainedBytes += kc.getSizeInBytes
+      }
+      if (pq.size < k) {
+        val c = u.copy(); pq.add(c); retainedBytes += c.getSizeInBytes
+      } else if (ordering.compare(u, pq.peek()) < 0) {
+        retainedBytes -= pq.poll().getSizeInBytes
+        val c = u.copy(); pq.add(c); retainedBytes += c.getSizeInBytes
+      }
+      if (retainedBytes > spillThreshold) flush()
+    }
+
+    if (spills.isEmpty) {
+      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+    } else {
+      flush() // uniform inputs: everything merges from sorted runs
+      val readers = spills.map(new RunReader(_, childOut.length)).filter(_.advance())
+      val byKey = new java.util.PriorityQueue[RunReader](math.max(readers.size, 1),
+        (a: RunReader, b: RunReader) => java.util.Arrays.compareUnsigned(a.key, b.key))
+      readers.foreach(byKey.add)
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!out.hasNext && !byKey.isEmpty) nextGroup()
+          out.hasNext
+        }
+        override def next(): InternalRow = { hasNext; out.next() }
+        private def nextGroup(): Unit = {
+          val heap = new java.util.PriorityQueue[UnsafeRow](k + 1, worstFirst)
+          def admit(rs: Array[UnsafeRow]): Unit = rs.foreach { r =>
+            if (heap.size < k) heap.add(r)
+            else if (ordering.compare(r, heap.peek()) < 0) { heap.poll(); heap.add(r) }
+          }
+          val first = byKey.poll()
+          val gkey = first.key // advance() replaces .key; this ref stays valid
+          admit(first.rows)
+          if (first.advance()) byKey.add(first)
+          while (!byKey.isEmpty && java.util.Arrays.equals(byKey.peek().key, gkey)) {
+            val r = byKey.poll()
+            admit(r.rows)
+            if (r.advance()) byKey.add(r)
+          }
+          out = heap.iterator().asScala
+        }
+      }
+    }
+  }
+  // scalastyle:on method.length
 }
 
 /** Optimizer rule (the Rule[LogicalPlan] extension point): rewrites the
@@ -116,6 +237,14 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   private def limit(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
     case LessThan(a: AttributeReference, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    // commuted literal-first spellings of the same bounds
+    case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: AttributeReference) if a.semanticEquals(rn) => Some(k - 1)
+    // rn = 1 (either side) — the latest-per-key idiom; row_number() is
+    // always ≥ 1 so equality to 1 IS the top-1 bound (k > 1 is a slice,
+    // not a top-k, and stays on the window plan)
+    case EqualTo(a: AttributeReference, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(IntegerLiteral(1), a: AttributeReference) if a.semanticEquals(rn) => Some(1)
     case _ => None
   }
 

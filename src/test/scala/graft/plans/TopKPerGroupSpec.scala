@@ -120,6 +120,71 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("spill path: tiny threshold forces multi-run merge, results identical") {
+    val t = graft.Tables(spark, sfDir)
+    val df = t.orders.select("o_custkey", "o_orderkey", "o_totalprice")
+    // o_custkey is high-cardinality — exactly the group-explosion shape
+    // the spill exists for; 4 KB forces many runs per task
+    val noSpill = TopKPerGroup
+      .topKPerGroup(df, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+      .orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.topk.spillThresholdBytes", "4096")
+    try {
+      val spilled = TopKPerGroup
+        .topKPerGroup(df, Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+        .orderBy("o_custkey", "o_orderkey").collect().map(_.toSeq).toSeq
+      assert(spilled == noSpill)
+      assert(spilled.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.spillThresholdBytes")
+  }
+
+  test("spill path: global top-k (empty grouping) survives a tiny threshold") {
+    val t = graft.Tables(spark, sfDir)
+    spark.conf.set("spark.graft.topk.spillThresholdBytes", "1024")
+    try {
+      val got = TopKPerGroup.topKPerGroup(
+          t.orders.select("o_orderkey", "o_totalprice"),
+          Seq.empty, Seq(("o_totalprice", false), ("o_orderkey", true)), 5)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .collect().map(_.toSeq).toSeq
+      val expected = t.orders.select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(5).collect().map(_.toSeq).toSeq
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.topk.spillThresholdBytes")
+  }
+
+  test("auto-rewrite fires on commuted (k >= rn) and rn = 1 filter spellings") {
+    TopKPerGroup.enableAutoRewrite(spark)
+    val t = graft.Tables(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val base = t.orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+    // literal-first bound
+    val commuted = base.withColumn("rn", row_number().over(w))
+      .filter(lit(2) >= col("rn"))
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    assert(commuted.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "2 >= rn must fire the rewrite")
+    // latest-per-key idiom
+    val top1 = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    val plan1 = top1.queryExecution.executedPlan.toString
+    assert(plan1.contains("TopKPerGroup"), s"rn = 1 must fire the rewrite:\n$plan1")
+    val got = top1.orderBy("o_orderpriority").collect().map(_.toSeq).toSeq
+    val expected = base.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .orderBy("o_orderpriority").collect().map(_.toSeq.dropRight(1)).toSeq
+    assert(got == expected)
+    // rn = k for k > 1 selects the k-th row, NOT the top-k — must stay a window
+    val slice = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    assert(slice.queryExecution.executedPlan.toString.contains("Window"),
+      "rn = 2 must NOT rewrite")
+  }
+
   test("handles groups smaller than k and duplicate order values") {
     import spark.implicits._
     val df = Seq(
