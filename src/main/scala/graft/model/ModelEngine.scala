@@ -27,22 +27,37 @@ final class ModelEngine(spark: SparkSession) {
 
   private def parse(sql: String) = spark.sessionState.sqlParser.parsePlan(sql)
 
-  /** Tables referenced by a model body, CTE-shadowing-aware. CTE bodies
-    * are `innerChildren` of `UnresolvedWith`, so they're walked explicitly
-    * (plain tree collect would miss them).
+  /** Tables referenced by a model body, CTE-shadowing-aware with SQL
+    * scoping rules (not tree-global name subtraction): each CTE body sees
+    * only the CTEs defined BEFORE it in the same WITH (non-recursive
+    * semantics), the main query sees all of them, and inner scopes extend
+    * outer ones. So `WITH x AS (SELECT * FROM x) SELECT * FROM x` reports
+    * x as a real upstream dependency — the body's x resolves to the
+    * catalog table (exactly how Spark and DuckDB resolve it); only the
+    * downstream use is shadowed. A global `refs -- ctes` would silently
+    * drop that edge and under-build the DAG.
     */
   def references(sql: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     val refs = scala.collection.mutable.Set.empty[String]
-    val ctes = scala.collection.mutable.Set.empty[String]
-    def gather(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
-      p.foreachWithSubqueries {
-        case r: UnresolvedRelation => refs += r.multipartIdentifier.last.toLowerCase
-        case w: UnresolvedWith =>
-          w.cteRelations.foreach { cr => ctes += cr._1.toLowerCase; gather(cr._2) }
-        case _ => ()
-      }
-    gather(parse(sql))
-    refs.toSet -- ctes.toSet
+    def gather(p: LogicalPlan, scope: Set[String]): Unit = p match {
+      case w: UnresolvedWith =>
+        var s = scope
+        w.cteRelations.foreach { cr => gather(cr._2, s); s += cr._1.toLowerCase }
+        gather(w.child, s)
+      case r: UnresolvedRelation =>
+        val n = r.multipartIdentifier.last.toLowerCase
+        if (!scope.contains(n)) refs += n
+      case other =>
+        other.children.foreach(gather(_, scope))
+        other.expressions.foreach(_.foreach {
+          case sq: SubqueryExpression => gather(sq.plan, scope)
+          case _ => ()
+        })
+    }
+    gather(parse(sql), Set.empty)
+    refs.toSet
   }
 
   /** model → models-it-depends-on (refs outside the model set are source

@@ -55,6 +55,15 @@ class ModelDagScaleSpec extends SparkSpec {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Snapshot sample count. The committed MODEL_SCALE.json is produced
+    * with SPARK_GRAFT_MODEL_SCALE_N=3 (min-of-3 + spread — the r11
+    * verdict's noise-pinning ask); the default 1 keeps the regular suite
+    * at one pass per leg, where the ratio asserts still hold via the
+    * load-retry fallbacks below.
+    */
+  private val nSamples =
+    sys.env.getOrElse("SPARK_GRAFT_MODEL_SCALE_N", "1").toInt
+
   test("500-model 6-level project: check/run/state:modified hold at dbt scale") {
     Tables(spark, sfDir).registerAll()
     val engine = new ModelEngine(spark)
@@ -68,11 +77,15 @@ class ModelDagScaleSpec extends SparkSpec {
 
     // check = parse + analyze every model's SQL with upstreams as temp
     // views; per-model Catalyst analysis cost is the dbt-scale risk
-    val checkSec = timed {
-      val schemas = engine.check(models)
-      assert(schemas.size == 500)
-      assert(schemas("m6_0").fieldNames.sameElements(Array("total")))
+    val checkRuns = (0 until nSamples).map { _ =>
+      timed {
+        val schemas = engine.check(models)
+        assert(schemas.size == 500)
+        assert(schemas("m6_0").fieldNames.sameElements(Array("total")))
+      }
     }
+    val checkSec = checkRuns.min
+    val checkSpread = checkRuns.max - checkRuns.min
     info(f"check of 500 models: $checkSec%.2f s (${checkSec / 500 * 1000}%.1f ms/model)")
 
     // project dir for the e2e CLI legs
@@ -104,20 +117,28 @@ class ModelDagScaleSpec extends SparkSpec {
         sink.materialize(spark, n, spark.sql(q)).createOrReplaceTempView(n)
       }
     }
-    val seqSec = timed(sequential(
-      java.nio.file.Files.createTempDirectory("graft_scale500_seq_").toString))
+    val seqRuns = (0 until nSamples).map(_ => timed(sequential(
+      java.nio.file.Files.createTempDirectory("graft_scale500_seq_").toString)))
+    val seqSec = seqRuns.min
+    val seqSpread = seqRuns.max - seqRuns.min
 
     val wh = s"$root/wh"
-    var parSec = timed(assert(GraftCli.execute(spark, "run", root, wh, failFast = false) == 0))
+    val parRuns = scala.collection.mutable.ArrayBuffer(
+      timed(assert(GraftCli.execute(spark, "run", root, wh, failFast = false) == 0)))
     assert(spark.read.parquet(s"$wh/m6_4").count() == 1)
-    // one sample per leg is load-dependent; only if the ratio misses,
-    // re-measure the parallel leg and keep the min (background load only
-    // ever ADDS time, so min estimates the leg's true cost)
-    if (!(parSec < seqSec * 0.8)) {
+    (1 until nSamples).foreach { _ =>
       val wh2 = java.nio.file.Files.createTempDirectory("graft_scale500_par_").toString
-      parSec = math.min(parSec,
-        timed(assert(GraftCli.execute(spark, "run", root, wh2.toString, failFast = false) == 0)))
+      parRuns += timed(assert(GraftCli.execute(spark, "run", root, wh2.toString, failFast = false) == 0))
     }
+    // the legs are load-dependent; only if the ratio misses, re-measure
+    // the parallel leg once more and keep the min (background load only
+    // ever ADDS time, so min estimates the leg's true cost)
+    if (!(parRuns.min < seqSec * 0.8)) {
+      val wh2 = java.nio.file.Files.createTempDirectory("graft_scale500_par_").toString
+      parRuns += timed(assert(GraftCli.execute(spark, "run", root, wh2.toString, failFast = false) == 0))
+    }
+    val parSec = parRuns.min
+    val parSpread = parRuns.max - parRuns.min
     info(f"run 500 models: sequential $seqSec%.2f s, level-parallel $parSec%.2f s (${seqSec / parSec}%.2fx)")
     assert(parSec < seqSec * 0.8,
       f"width parallelism must hold at 500 models: parallel $parSec%.2f s vs sequential $seqSec%.2f s")
@@ -135,9 +156,10 @@ class ModelDagScaleSpec extends SparkSpec {
     // slot 7 (j = 7/5 = 1), the L6 root over that group (r = 1/4 = 0)
     assert(Selector.expand(engine.dependencies(edited), "state:modified+", modified)
       == Set("m3_7", "m4_7", "m5_1", "m6_0"))
-    var ciSec = timed(assert(GraftCli.execute(spark, "run", root, wh,
-      failFast = false, Some("state:modified+")) == 0))
-    info(f"slim-CI rebuild of the 4-model branch: $ciSec%.2f s")
+    val ciRuns = scala.collection.mutable.ArrayBuffer(
+      timed(assert(GraftCli.execute(spark, "run", root, wh,
+        failFast = false, Some("state:modified+")) == 0)))
+    info(f"slim-CI rebuild of the 4-model branch: ${ciRuns.head}%.2f s")
     assert(new java.io.File(s"$wh/m3_8").lastModified() == untouchedPeer,
       "peer model in the same level must not rebuild")
     assert(new java.io.File(s"$wh/m4_50").lastModified() == untouchedFar,
@@ -155,13 +177,24 @@ class ModelDagScaleSpec extends SparkSpec {
     // gate, toggle the edit BACK (another single-model change to m3_7 →
     // the same 4-model downstream branch) and keep the min, since
     // background load only ever ADDS time
-    if (!(ciSec < parSec * 0.5)) {
+    // extra samples toggle the single-model edit back and forth — every
+    // toggle dirties exactly m3_7, so each sample rebuilds the same
+    // 4-model branch
+    var toggledOn = true
+    def toggleAndTime(): Unit = {
       Thread.sleep(1100)
-      java.nio.file.Files.writeString(modelFile, dagSql(editedMid = false))
-      ciSec = math.min(ciSec, timed(assert(GraftCli.execute(spark, "run", root,
-        wh, failFast = false, Some("state:modified+")) == 0)))
-      info(f"slim-CI re-measure (min of 2): $ciSec%.2f s")
+      toggledOn = !toggledOn
+      java.nio.file.Files.writeString(modelFile, dagSql(editedMid = toggledOn))
+      ciRuns += timed(assert(GraftCli.execute(spark, "run", root,
+        wh, failFast = false, Some("state:modified+")) == 0))
     }
+    (1 until nSamples).foreach(_ => toggleAndTime())
+    if (!(ciRuns.min < parSec * 0.5)) {
+      toggleAndTime()
+      info(f"slim-CI re-measure (min of ${ciRuns.size}): ${ciRuns.min}%.2f s")
+    }
+    val ciSec = ciRuns.min
+    val ciSpread = ciRuns.max - ciRuns.min
     assert(ciSec < parSec * 0.5,
       f"rebuilding 4 of 500 models must cost well under the full parallel " +
         f"run, or the snapshot is load noise: slim-CI $ciSec%.2f s vs " +
@@ -170,7 +203,10 @@ class ModelDagScaleSpec extends SparkSpec {
     val json =
       f"""{"models": 500, "levels": 6, "check_s": $checkSec%.2f, "check_ms_per_model": ${checkSec / 500 * 1000}%.1f,
          | "run_sequential_s": $seqSec%.2f, "run_parallel_s": $parSec%.2f, "speedup": ${seqSec / parSec}%.2f,
-         | "slim_ci_branch_s": $ciSec%.2f, "slim_ci_models_rebuilt": 4}""".stripMargin.replace("\n", "")
+         | "slim_ci_branch_s": $ciSec%.2f, "slim_ci_models_rebuilt": 4,
+         | "method": "min-of-$nSamples",
+         | "variance": {"check_s": $checkSpread%.2f, "run_sequential_s": $seqSpread%.2f,
+         | "run_parallel_s": $parSpread%.2f, "slim_ci_branch_s": $ciSpread%.2f}}""".stripMargin.replace("\n", "")
     java.nio.file.Files.writeString(java.nio.file.Paths.get("MODEL_SCALE.json"), json + "\n")
   }
 }
