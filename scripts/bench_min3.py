@@ -23,7 +23,10 @@ def main():
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     runs = []
     for i in range(n):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+        # default 32 threads, but let the caller override (the sf10 spot
+        # recipe runs 24 threads + 96g driver to keep the heap headroom)
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "32"))
         r = subprocess.run(
             ["sbt", "-batch", "runMain graft.Bench"],
             env=env, capture_output=True, text=True, cwd=os.path.dirname(

@@ -889,9 +889,12 @@ object Dedup {
     // exactly the old anti-join-free semantics, but without a second
     // corpus-wide join to re-attach unscored vectors. Grouping on
     // (vec_id, cell) instead of vec_id alone lets the aggregate reuse the
-    // join's hash(cell) partitioning (every pair of a given vec_id shares
-    // its a.cell), so the max runs exchange-free where the old plan paid
-    // a hash(vec_id) shuffle plus a join-by-vec_id round.
+    // join's hash(cell) partitioning when the join shuffles (every pair
+    // of a given vec_id shares its a.cell); when the guarded side is
+    // small enough to broadcast the aggregate pays one (vec_id, cell)
+    // exchange — still one join and one exchange fewer than the old
+    // re-attach plan at either scale. PlanSpec locks the invariant that
+    // vec_id never reappears as a join key.
     val prior = cells.as("a").join(m.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"),
         "left")

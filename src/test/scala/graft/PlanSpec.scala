@@ -688,4 +688,22 @@ class PlanSpec extends SparkSpec {
       s"kept-side and totals reuse the persisted compact frame:\n$plan")
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
+
+  test("d10: one cell-keyed self-join, no join-by-vec_id re-attach round") {
+    val df = graft.ops.Dedup.d10_semdedup(spark, sfDir)
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cell scoring must stay an equi-join on cell:\n$plan")
+    // the r11 rework replaced the anti-join-free re-attach (a SECOND
+    // corpus join keyed by vec_id) with a LEFT self-join + sentinel:
+    // vec_id must never appear as a JOIN key — the only joins are
+    // cell-keyed (guard semi-join + pair scoring). The aggregate may
+    // still exchange by (vec_id, cell) when the guarded side broadcasts
+    // (small-scale plans have no reusable hash(cell) partitioning).
+    val vecIdJoinKeys = plan.linesIterator
+      .filter(l => l.contains("keys") && l.contains("[vec_id")).toSeq
+    assert(vecIdJoinKeys.isEmpty,
+      s"no join keyed by vec_id:\n${vecIdJoinKeys.mkString("\n")}")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
 }
