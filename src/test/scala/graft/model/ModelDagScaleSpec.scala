@@ -200,13 +200,18 @@ class ModelDagScaleSpec extends SparkSpec {
         f"run, or the snapshot is load noise: slim-CI $ciSec%.2f s vs " +
         f"parallel $parSec%.2f s")
 
-    val json =
-      f"""{"models": 500, "levels": 6, "check_s": $checkSec%.2f, "check_ms_per_model": ${checkSec / 500 * 1000}%.1f,
-         | "run_sequential_s": $seqSec%.2f, "run_parallel_s": $parSec%.2f, "speedup": ${seqSec / parSec}%.2f,
-         | "slim_ci_branch_s": $ciSec%.2f, "slim_ci_models_rebuilt": 4,
-         | "method": "min-of-$nSamples",
-         | "variance": {"check_s": $checkSpread%.2f, "run_sequential_s": $seqSpread%.2f,
-         | "run_parallel_s": $parSpread%.2f, "slim_ci_branch_s": $ciSpread%.2f}}""".stripMargin.replace("\n", "")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("MODEL_SCALE.json"), json + "\n")
+    // Snapshot-mode only: a routine suite run (nSamples = 1, often under
+    // concurrent load) must not clobber the committed min-of-3 artifact —
+    // the pin exists precisely because single noisy runs kept rewriting it
+    if (sys.env.contains("SPARK_GRAFT_MODEL_SCALE_N")) {
+      val json =
+        f"""{"models": 500, "levels": 6, "check_s": $checkSec%.2f, "check_ms_per_model": ${checkSec / 500 * 1000}%.1f,
+           | "run_sequential_s": $seqSec%.2f, "run_parallel_s": $parSec%.2f, "speedup": ${seqSec / parSec}%.2f,
+           | "slim_ci_branch_s": $ciSec%.2f, "slim_ci_models_rebuilt": 4,
+           | "method": "min-of-$nSamples",
+           | "variance": {"check_s": $checkSpread%.2f, "run_sequential_s": $seqSpread%.2f,
+           | "run_parallel_s": $parSpread%.2f, "slim_ci_branch_s": $ciSpread%.2f}}""".stripMargin.replace("\n", "")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("MODEL_SCALE.json"), json + "\n")
+    }
   }
 }
