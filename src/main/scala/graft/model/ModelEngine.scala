@@ -47,8 +47,12 @@ final class ModelEngine(spark: SparkSession) {
         w.cteRelations.foreach { cr => gather(cr._2, s); s += cr._1.toLowerCase }
         gather(w.child, s)
       case r: UnresolvedRelation =>
+        // CTE names can only shadow SINGLE-part references: a qualified
+        // name like db.x always resolves to the catalog, never to a
+        // `WITH x` in scope — so the scope check applies only when the
+        // identifier is unqualified.
         val n = r.multipartIdentifier.last.toLowerCase
-        if (!scope.contains(n)) refs += n
+        if (r.multipartIdentifier.size > 1 || !scope.contains(n)) refs += n
       case other =>
         other.children.foreach(gather(_, scope))
         other.expressions.foreach(_.foreach {

@@ -1254,6 +1254,23 @@ object Dedup {
        |FROM flagged GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Env-gated scale diagnostic (`SPARK_GRAFT_LOG_PAIRS=1`): count and
+    * log a candidate-pair frame before it is consumed, so a sf1-vs-sf10
+    * run can separate "the host is slow" from "the banding collided" —
+    * pairs growing ~10× for 10× data means the algorithm is linear and
+    * any super-linear wall-time is environmental; ~100× means a real
+    * collision blow-up. Off by default: the extra `count()` is a whole
+    * extra job and must not perturb bench timings.
+    */
+  private def logPairCount(tag: String, cands: DataFrame): DataFrame = {
+    if (sys.env.contains("SPARK_GRAFT_LOG_PAIRS")) {
+      // scalastyle:off println
+      println(s"[graft-pairs] $tag candidate_pairs=${cands.count()}")
+      // scalastyle:on println
+    }
+    cands
+  }
+
   // ---------------------------------------------------------------- d13
 
   /** d13_lsh_calibration — MinHash estimator calibration report: for
@@ -1294,12 +1311,12 @@ object Dedup {
     val buckets = exploded.groupBy("band", "bkey").count()
       .filter(col("count").between(2, 100)).select("band", "bkey")
     val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
-    val cands = members.as("l")
+    val cands = logPairCount("d13", members.as("l")
       .join(members.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
-      .distinct()
+      .distinct())
     cands
       .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -1438,7 +1455,7 @@ object Dedup {
     val sig = base.withColumn("sig",
       graft.functions.HashExpressions.shaMinHash(col("shingles"), K))
       .select("doc_id", "sig")
-    val cands = lshCandidatesSha(sig)
+    val cands = logPairCount("d14", lshCandidatesSha(sig))
     val stats = base.select("doc_id", "n_toks", "quality")
     val pairs = cands
       .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))

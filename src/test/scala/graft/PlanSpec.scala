@@ -700,8 +700,13 @@ class PlanSpec extends SparkSpec {
     // cell-keyed (guard semi-join + pair scoring). The aggregate may
     // still exchange by (vec_id, cell) when the guarded side broadcasts
     // (small-scale plans have no reusable hash(cell) partitioning).
+    // match any JOIN-key detail line ("Left keys [n]: [...]" / "Right
+    // keys [n]: ...": lowercase "keys [" — HashAggregate's "Keys [n]:"
+    // grouping keys are capital-K and ALLOWED) and assert vec_id appears
+    // NOWHERE in it — a composite key with vec_id second (e.g.
+    // "[cell#1, vec_id#2]") must fail too, not just a leading one
     val vecIdJoinKeys = plan.linesIterator
-      .filter(l => l.contains("keys") && l.contains("[vec_id")).toSeq
+      .filter(l => l.contains("keys [") && l.contains("vec_id")).toSeq
     assert(vecIdJoinKeys.isEmpty,
       s"no join keyed by vec_id:\n${vecIdJoinKeys.mkString("\n")}")
     df.sparkSession.sharedState.cacheManager.clearCache()

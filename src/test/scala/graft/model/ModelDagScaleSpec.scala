@@ -61,8 +61,15 @@ class ModelDagScaleSpec extends SparkSpec {
     * at one pass per leg, where the ratio asserts still hold via the
     * load-retry fallbacks below.
     */
-  private val nSamples =
-    sys.env.getOrElse("SPARK_GRAFT_MODEL_SCALE_N", "1").toInt
+  private val nSamples = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_MODEL_SCALE_N", "1")
+    val n = try raw.toInt catch {
+      case _: NumberFormatException => sys.error(
+        s"SPARK_GRAFT_MODEL_SCALE_N must be a positive integer, got '$raw'")
+    }
+    require(n >= 1, s"SPARK_GRAFT_MODEL_SCALE_N must be >= 1, got $n")
+    n
+  }
 
   test("500-model 6-level project: check/run/state:modified hold at dbt scale") {
     Tables(spark, sfDir).registerAll()
