@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // SPARK_GRAFT_GC_LOG=<path>: dump unified GC logging for bench-anomaly
+  // forensics (the r13 finding that an oversized driver heap induces
+  // quasi-random ~2-minute per-entry stalls lives or dies on these logs)
+) ++ sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

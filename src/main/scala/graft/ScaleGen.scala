@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * keys all shift by copy-sized offsets, and nation/region (fixed 25/5
   * dimensions at every TPC-H SF) stay shared. Text and embedding copies
   * are ROTATED (tokens by i, dims by i), not duplicated verbatim —
-  * verbatim copies would add 10 exact dups of every doc and make the
-  * dedup/ANN entries structurally denser than any real corpus, hiding
-  * exactly the super-linear candidate blowups this data exists to
-  * reveal; rotation keeps each copy's internal dup/near-dup density
-  * identical to the original.
+  * verbatim copies would add 10 exact dups of every doc. Rotation keeps
+  * each copy's internal dup/near-dup density identical to the original,
+  * but (r13 finding, PAIRS_r13.json) it PRESERVES bigram shingles, so
+  * the copies of one doc still form a MinHash near-dup family of size =
+  * factor and cross-copy candidate pairs grow quadratically in factor.
+  * Pass a 4th arg "perturb" for a density-CONTROLLED corpus (per-copy
+  * bijective token renaming, see the documents block) whose cross-SF
+  * wall ratios measure engine scaling rather than data densification.
   *
   * This is a test-harness tool, not an operator: determinism matters
   * (same input → same sf1 bytes), realism of the marginal distribution
@@ -91,12 +94,38 @@ object ScaleGen {
       shift(shift(df, "event_id", i * EVT), "user_id", i * USER)
     }, "events", 8)
 
-    // documents: rotate the token stream by i (copy 0 untouched) — same
-    // tokens, same within-copy duplicate structure, different shingles
-    // across copies; n_chars re-derived from the rotated text
+    // documents, two modes (r13 finding):
+    //
+    // "rotate" (default): rotate the token stream by i (copy 0
+    // untouched). Same tokens, same within-copy duplicate structure —
+    // but a rotation preserves nearly every BIGRAM shingle (only the cut
+    // and wrap points change), so the copies of one source doc form a
+    // near-dup family of size = factor, and cross-copy candidate pairs
+    // in the MinHash entries grow as C(factor,2): measured 24.3M pairs
+    // at factor 100 vs 0.32M at factor 10 (75.9× for 10× data,
+    // PAIRS_r13.json). Rotation therefore stress-tests the candidate
+    // blow-up path, which is useful — but it makes cross-SF wall-clock
+    // ratios of dedup entries measure data densification, not engine
+    // scaling.
+    //
+    // "perturb": additionally rename 2/3 of token VALUES per copy
+    // (t → t~i when pmod(hash(t),3)≠0). The map is a bijection applied
+    // uniformly to the copy's whole vocabulary, so every within-copy
+    // similarity (shingle Jaccard, df distribution shape, dup families)
+    // is preserved EXACTLY, while cross-copy bigram Jaccard drops to
+    // ≈0.06 — far below the 16×4 LSH S-curve — so candidate density
+    // stays constant as the corpus scales and wall-ratios read as
+    // engine scaling. Cost: common-token df grows ~factor/3 instead of
+    // ~factor (vocabulary grows with scale, Heaps-ish — acceptable).
+    val perturb = args.length > 3 && args(3) == "perturb"
     write(scaled("documents") { (df, i) =>
-      val rotated =
+      val mutated =
         if (i == 0) df
+        else if (perturb) df.withColumn("text",
+          expr(s"""concat_ws(' ', transform(split(text, ' '),
+                  |  t -> CASE WHEN pmod(hash(t), 3) = 0 THEN t
+                  |       ELSE concat(t, '~$i') END))""".stripMargin))
+          .withColumn("n_chars", length(col("text")).cast("long"))
         else df.withColumn("text",
           expr(s"""concat_ws(' ',
                   |  concat(slice(split(text, ' '), $i + 1,
@@ -104,7 +133,7 @@ object ScaleGen {
                   |         slice(split(text, ' '), 1,
                   |               least($i, size(split(text, ' '))))))""".stripMargin))
           .withColumn("n_chars", length(col("text")).cast("long"))
-      shift(rotated, "doc_id", i * DOC)
+      shift(mutated, "doc_id", i * DOC)
     }, "documents", 4)
 
     // embeddings: rotate dimensions by i — norms preserved, directions

@@ -121,6 +121,15 @@ object Dedup {
   private val BANDS = 16
   private val ROWS_PER_BAND = 4
 
+  /** d13's per-bucket pair window: each bucket member pairs with at most
+    * this many doc_id-ordered successors, bounding a size-s bucket at
+    * s·W pairs instead of C(s,2) — the difference between a calibration
+    * report that stays linear in the corpus and one that goes quadratic
+    * when dup-family size grows with the corpus (measured r13: 76× pairs
+    * for 10× data on the rotated sf10 corpus without the window).
+    */
+  private val CALIB_NEIGHBORS = 8
+
   /** d2_dedup_minhash — MinHash(64) + LSH(16 bands × 4 rows) near-dup
     * pairs, verified with exact shingle Jaccard ≥ 0.7.
     *
@@ -1287,18 +1296,26 @@ object Dedup {
     *
     * All arithmetic is integer permille (matches·1000 DIV k,
     * inter·1000 DIV union), so the report is hash-exact cross-engine.
-    * Scale shape: d2's exactly — narrow signature pass, band groupBy
-    * with the bucket-size skew guard, within-bucket pairs only, and the
-    * report itself is a ≤11-row aggregate. [oracle]
+    * Scale shape: d2's signature pass and band groupBy with the
+    * bucket-size skew guard, then BOUNDED per-bucket pairing — each
+    * member pairs with ≤ CALIB_NEIGHBORS doc_id-ordered successors, so
+    * pair count stays linear in bucket occupancy even when dup-family
+    * size grows with the corpus (C(s,2) does not: the r13 sf10
+    * measurement hit 24.3M pairs = 76× sf1's for 10× data before the
+    * window). The report itself is a ≤11-row aggregate. [oracle]
     */
   def d13_lsh_calibration(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables(spark, dir).documents)
+    // One persisted doc frame carrying shingles AND the signature: the
+    // scoring stage attaches both sides in TWO doc-keyed joins instead of
+    // four (sig×2 + shingles×2), halving the pair-table shuffle count —
+    // at 100 TB the pair table is the widest thing in flight and every
+    // extra attach join re-exchanges it.
+    val info = withShingles(Tables(spark, dir).documents)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .withColumn("sig",
+        graft.functions.HashExpressions.shaMinHash(col("shingles"), K))
       .persistTracked
-    val sig = sh.withColumn("sig",
-      graft.functions.HashExpressions.shaMinHash(col("shingles"), K))
-      .select("doc_id", "sig")
-      .persistTracked
+    val sig = info.select("doc_id", "sig")
     val bandStructs = array((0 until BANDS).map { b =>
       val key = concat_ws(",",
         (0 until ROWS_PER_BAND).map(r => element_at(col("sig"), b * ROWS_PER_BAND + r + 1)): _*)
@@ -1311,17 +1328,31 @@ object Dedup {
     val buckets = exploded.groupBy("band", "bkey").count()
       .filter(col("count").between(2, 100)).select("band", "bkey")
     val members = exploded.join(buckets, Seq("band", "bkey"), "left_semi")
-    val cands = logPairCount("d13", members.as("l")
-      .join(members.as("r"),
+    // Bounded per-bucket pairing: rank members by doc_id inside each
+    // bucket and pair each member only with its next CALIB_NEIGHBORS
+    // successors, so a bucket of size s yields ≤ s·W pairs instead of
+    // C(s,2). Calibration needs a REPRESENTATIVE pair sample per bucket,
+    // not every pair — and C(s,2) is exactly where a corpus whose dup
+    // families grow with its size (r13 measurement: the rotated sf10
+    // corpus carries 100-member bigram-shingle families, 24.3M pairs vs
+    // sf1's 0.32M = 76× for 10× data) turns a linear report quadratic.
+    // The window is deterministic (doc_id order), so the DuckDB oracle
+    // mirrors it row-for-row with the same row_number.
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bkey").orderBy("doc_id")
+    val ranked = members.withColumn("rk", row_number().over(rk))
+    val cands = logPairCount("d13", ranked.as("l")
+      .join(ranked.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("r.rk") > col("l.rk") &&
+          col("r.rk") <= col("l.rk") + CALIB_NEIGHBORS)
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct())
     cands
-      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .join(info.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(info.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        col("shingles").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("est_pm", expr(
         s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) * 1000 DIV $K"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -1371,10 +1402,15 @@ object Dedup {
        |  SELECT band, bkey FROM exploded GROUP BY band, bkey
        |  HAVING COUNT(*) BETWEEN 2 AND 100),
        |members AS MATERIALIZED (SELECT e.doc_id, e.band, e.bkey FROM exploded e JOIN buckets USING (band, bkey)),
+       |ranked AS MATERIALIZED (
+       |  SELECT doc_id, band, bkey,
+       |    row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rk
+       |  FROM members),
        |cand AS (
        |  SELECT l.doc_id AS id_a, r.doc_id AS id_b
-       |  FROM members l JOIN members r
-       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+       |  FROM ranked l JOIN ranked r
+       |    ON l.band = r.band AND l.bkey = r.bkey
+       |   AND r.rk > l.rk AND r.rk <= l.rk + $CALIB_NEIGHBORS
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT id_a, id_b,
@@ -1457,14 +1493,17 @@ object Dedup {
       .select("doc_id", "sig")
     val cands = logPairCount("d14", lshCandidatesSha(sig))
     val stats = base.select("doc_id", "n_toks", "quality")
+    // base already carries length + quality: attach them in the SAME two
+    // doc-keyed joins that bring the shingles (two extra ints riding an
+    // already-shuffled row) instead of re-joining the verified pairs
+    // against stats twice — 2 pair-table shuffles instead of 4
     val pairs = cands
-      .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .join(base.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
+        col("n").as("n_a"), col("n_toks").as("len_a"), col("quality").as("q_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"),
+        col("n").as("n_b"), col("n_toks").as("len_b"), col("quality").as("q_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .filter(expr("inter * 1000 DIV (n_a + n_b - inter) >= 700"))
-      .select("id_a", "id_b")
-      .join(stats.select(col("doc_id").as("id_a"), col("n_toks").as("len_a"), col("quality").as("q_a")), Seq("id_a"))
-      .join(stats.select(col("doc_id").as("id_b"), col("n_toks").as("len_b"), col("quality").as("q_b")), Seq("id_b"))
     val losers = pairs.select(explode(array(
       struct(lit("keep_first").as("policy"), col("id_b").as("loser")),
       struct(lit("keep_longest").as("policy"), expr(
