@@ -62,6 +62,25 @@ class Round9dOpsSpec extends SparkSpec {
     assert(ten.getAs[Long]("max_abs_err_pm") == 0L)
   }
 
+  test("d13: the per-bucket window bounds a dup family at s*W pairs, never C(s,2)") {
+    // 30 IDENTICAL docs = one 30-member bucket in every band (same
+    // signature everywhere, size 30 is inside the 2..100 cap). The
+    // CALIB_NEIGHBORS=8 window must admit exactly 30*8 - 8*9/2 = 204
+    // distinct pairs; unwindowed C(30,2) pairing would admit 435. This
+    // is the r13 scale guard in CI form: a corpus whose dup families
+    // grow with its size (PAIRS_r13.json: 76x pairs for 10x data on the
+    // rotated sf10 corpus) must not turn the calibration quadratic.
+    val dir = tmpDir("graft_d13w_")
+    val text = (1 to 40).map(i => s"fam$i").mkString(" ")
+    writeDocs(dir, (1L to 30L).map(_ -> text))
+    val rows = Dedup.d13_lsh_calibration(spark, dir).collect()
+    assert(rows.length == 1, "identical docs land in one decile")
+    assert(rows.head.getAs[Long]("decile") == 10L)
+    assert(rows.head.getAs[Long]("n_pairs") == 204L,
+      s"window must admit s*W - W*(W+1)/2 = 204 pairs, got ${rows.head}")
+    assert(rows.head.getAs[Long]("max_abs_err_pm") == 0L)
+  }
+
   test("d13: report is bounded and decile-consistent on real data") {
     val rows = Dedup.d13_lsh_calibration(spark, sfDir).collect()
     assert(rows.nonEmpty, "the sf corpus contains near-dup pairs")
