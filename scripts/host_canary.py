@@ -41,13 +41,30 @@ def main():
     # within one connection, so a shared one would conflate the two
     t8 = [run_once(sf_dir, sql, 8) for _ in range(2)]
     t32 = [run_once(sf_dir, sql, 32) for _ in range(2)]
-    ratio = round(min(t32) / min(t8), 2)
+    # guard the denominator: on a tiny sf dir the 8-thread probe can
+    # round to 0.000 s and a bare division crashes instead of verdicting
+    ratio = round(min(t32) / max(min(t8), 1e-3), 2)
     # r11-healthy: 32t beat or matched 8t (2.9 s vs ~9 s). Sick: 32t is
     # 10-100x WORSE than 8t. Flag anything where 32t loses by >3x.
-    verdict = "SICK" if min(t32) > 3 * min(t8) else "healthy"
+    # Separately report run-to-run instability: min-of-N on a bimodal
+    # host systematically flatters whichever engine drew the fast mode
+    # (r13 saw this probe swing 54-202 s same-day), so a wide spread is
+    # its own finding even when the 32t/8t ratio looks fine.
+    allruns = t8 + t32
+    bimodal = max(allruns) > 2 * max(min(allruns), 1e-3)
+    if min(t32) > 3 * max(min(t8), 1e-3):
+        verdict = "SICK"
+    elif bimodal:
+        verdict = ("not-32-thread-pathological; still bimodal "
+                   "(run-to-run spread > 2x — min-of-N is biased here, "
+                   "prefer median-of-5 for heavy oracles)")
+    else:
+        verdict = "healthy"
     doc = {"probe": "d12_line_dedup oracle", "sf_dir": sf_dir,
            "threads8_s": t8, "threads32_s": t32,
-           "ratio_32_over_8": ratio, "verdict": verdict}
+           "ratio_32_over_8": ratio,
+           "spread_max_over_min": round(max(allruns) / max(min(allruns), 1e-3), 2),
+           "verdict": verdict}
     print(json.dumps(doc, indent=1))
     if out_json:
         json.dump(doc, open(out_json, "w"), indent=1)

@@ -108,8 +108,11 @@ object ScaleGen {
     // ratios of dedup entries measure data densification, not engine
     // scaling.
     //
-    // "perturb": additionally rename 2/3 of token VALUES per copy
-    // (t → t~i when pmod(hash(t),3)≠0). The map is a bijection applied
+    // "perturb": instead of rotating, rename 2/3 of token VALUES per
+    // copy (t → t~i when pmod(hash(t),3)≠0; copy 0 untouched, and
+    // copies i>0 take the rename INSTEAD of the rotation — measured
+    // cross-copy bigram Jaccard 0.06 matches the no-rotation transform).
+    // The map is a bijection applied
     // uniformly to the copy's whole vocabulary, so every within-copy
     // similarity (shingle Jaccard, df distribution shape, dup families)
     // is preserved EXACTLY, while cross-copy bigram Jaccard drops to
@@ -118,6 +121,19 @@ object ScaleGen {
     // engine scaling. Cost: common-token df grows ~factor/3 instead of
     // ~factor (vocabulary grows with scale, Heaps-ish — acceptable).
     val perturb = args.length > 3 && args(3) == "perturb"
+    if (perturb && factor > 1) {
+      // The per-copy rename t -> concat(t, '~i') is only a bijection when
+      // no source token already carries a '~' — a kept token "x~1" would
+      // merge with renamed "x" in copy 1, silently violating the
+      // within-copy-similarity-preserved-EXACTLY invariant the mode's
+      // density-control claim rests on. Fail fast (one cheap aggregate),
+      // mirroring the stride-check discipline above.
+      val tilde = read("documents").filter(col("text").contains("~")).count()
+      require(tilde == 0L,
+        s"perturb mode: $tilde source documents contain '~' in text — " +
+          "the copy-suffix rename would not be a bijection; regenerate " +
+          "from a clean corpus or change the suffix separator")
+    }
     write(scaled("documents") { (df, i) =>
       val mutated =
         if (i == 0) df

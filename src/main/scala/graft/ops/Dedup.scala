@@ -1282,15 +1282,19 @@ object Dedup {
 
   // ---------------------------------------------------------------- d13
 
-  /** d13_lsh_calibration — MinHash estimator calibration report: for
-    * every candidate pair the d2 banding surfaces, compare the
-    * signature's similarity ESTIMATE (matching components / k — the
-    * unbiased MinHash estimator) against the exact shingle Jaccard, and
-    * aggregate the error by exact-similarity decile. This is the
-    * measurement that justifies (k=64, 16×4 bands) before a 100 TB
-    * dedup run: the per-decile mean/max estimator error (theory:
-    * σ = √(s(1−s)/k) ≈ 62‰ at s=0.5) and the pair mass per decile that
-    * the S-curve admits. Run on a sample, read the report, THEN spend
+  /** d13_lsh_calibration — MinHash estimator calibration report over a
+    * BOUNDED doc_id-ordered sample of the candidate pairs the d2
+    * banding surfaces (each bucket member pairs with ≤ CALIB_NEIGHBORS
+    * successors): compare the signature's similarity ESTIMATE (matching
+    * components / k — the unbiased MinHash estimator) against the exact
+    * shingle Jaccard, and aggregate the error by exact-similarity
+    * decile. This is the measurement that justifies (k=64, 16×4 bands)
+    * before a 100 TB dedup run: the per-decile mean/max estimator error
+    * (theory: σ = √(s(1−s)/k) ≈ 62‰ at s=0.5) and, per decile, the
+    * per-bucket-windowed pair count `n_pairs` — a deterministic sample
+    * size, NOT total S-curve pair mass (sizing a full dedup's pair
+    * volume needs d2/d14, which keep the complete candidate set).
+    * Run on a sample, read the report, THEN spend
     * the cluster — the alternative is discovering a miscalibrated
     * threshold after the run deleted 8% of the corpus.
     *
@@ -1480,7 +1484,16 @@ object Dedup {
     * doc-keyed collapse, and a 3-row aggregate joined against 1-row
     * corpus totals. [oracle]
     */
-  def d14_retention_policies(spark: SparkSession, dir: String): DataFrame = {
+  /** d14's doc frame + FULL candidate-pair frame, exposed package-private
+    * so Round9dOpsSpec can pin the candidate count against the banding
+    * closed form (r13 verdict item 5): d14 deliberately keeps the
+    * complete pair set — a retention audit that samples pairs changes
+    * answers — so the one regression class its design exposes is a
+    * banding change silently inflating (or windowing) the pair count.
+    * The spec counts THIS frame, the same object d14 consumes.
+    */
+  private[graft] def d14BaseAndCandidates(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = withShingles(Tables(spark, dir).documents)
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("quality", expr(
@@ -1491,7 +1504,11 @@ object Dedup {
     val sig = base.withColumn("sig",
       graft.functions.HashExpressions.shaMinHash(col("shingles"), K))
       .select("doc_id", "sig")
-    val cands = logPairCount("d14", lshCandidatesSha(sig))
+    (base, logPairCount("d14", lshCandidatesSha(sig)))
+  }
+
+  def d14_retention_policies(spark: SparkSession, dir: String): DataFrame = {
+    val (base, cands) = d14BaseAndCandidates(spark, dir)
     val stats = base.select("doc_id", "n_toks", "quality")
     // base already carries length + quality: attach them in the SAME two
     // doc-keyed joins that bring the shingles (two extra ints riding an

@@ -88,6 +88,41 @@ class FloorProofSpec extends SparkSpec {
       s"(4 planned exchanges incl. the doc-aggregate shuffle); plan has $n:\n$plan")
   }
 
+  // r13 verdict item 4: the five floor-bound weak entries that carried
+  // sf0.1-vs-sf1 floor arithmetic in their BASELINE cause notes but no
+  // CI pin. Same discipline as the five above: the claim "floor, not
+  // plan" becomes a regression test.
+
+  test("t12_tfidf floor proof: at most 10 scheduled jobs") {
+    val n = countJobs(graft.ops.PipelineOps.t12_tfidf(spark, sfDir).count())
+    assert(n <= 10, s"t12's floor arithmetic assumes ~6 logical stages (10 AQE jobs); " +
+      s"scheduler ran $n")
+  }
+
+  test("t13_corpus_report floor proof: at most 33 scheduled jobs") {
+    val n = countJobs(graft.ops.PipelineOps.t13_corpus_report(spark, sfDir).count())
+    assert(n <= 33, s"t13's ~8 report aggregates schedule 33 AQE jobs today; " +
+      s"scheduler ran $n")
+  }
+
+  test("t11_repetition floor proof: at most 4 scheduled jobs") {
+    val n = countJobs(graft.ops.PipelineOps.t11_repetition(spark, sfDir).count())
+    assert(n <= 4, s"t11's floor arithmetic assumes 2 window stages + doc agg " +
+      s"(4 AQE jobs); scheduler ran $n")
+  }
+
+  test("q24_session_window floor proof: at most 4 scheduled jobs") {
+    val n = countJobs(graft.ops.TimeOps.q24_session_window(spark, sfDir).count())
+    assert(n <= 4, s"q24's floor arithmetic assumes ~3 logical jobs (4 AQE jobs); " +
+      s"scheduler ran $n")
+  }
+
+  test("q61_temporal_join floor proof: at most 6 scheduled jobs") {
+    val n = countJobs(graft.queries.Relational.q61_temporal_join(spark, sfDir).count())
+    assert(n <= 6, s"q61's floor arithmetic assumes ~4 exchange-separated jobs " +
+      s"(6 AQE jobs); scheduler ran $n")
+  }
+
   test("t24_ccnet_buckets floor proof: at most t16's exchanges + 2") {
     val t16 = exchanges(formatted(graft.ops.TextOps.t16_lm_surprisal(spark, sfDir)))
     val t24 = exchanges(formatted(graft.ops.TextOps.t24_ccnet_buckets(spark, sfDir)))

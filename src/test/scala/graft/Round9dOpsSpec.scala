@@ -81,6 +81,28 @@ class Round9dOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("max_abs_err_pm") == 0L)
   }
 
+  test("d14: candidate count equals the banding closed form — full C(s,2), never windowed") {
+    // 30 identical docs = one 30-member bucket in every band (inside the
+    // 2..100 cap). d14 KEEPS the complete candidate set by design (a
+    // retention audit that samples pairs changes answers — PAIRS_r13),
+    // so the distinct-pair frame must be exactly C(30,2) = 435. A
+    // banding change that silently inflates pairs, or a d13-style
+    // CALIB_NEIGHBORS window leaking into d14 (which would shrink this
+    // to 30*8 - 8*9/2 = 204), fails here before it changes answers.
+    val dir = tmpDir("graft_d14c_")
+    val text = (1 to 40).map(i => s"fam$i").mkString(" ")
+    writeDocs(dir, (1L to 30L).map(_ -> text))
+    val (_, cands) = Dedup.d14BaseAndCandidates(spark, dir)
+    assert(cands.count() == 435L,
+      "d14's audit must see the FULL banding pair set C(30,2) = 435")
+    // and the audit consumes all of them: under keep_first every doc
+    // that is id_b in SOME pair drops — with full pairing that is 2..30
+    val kf = Dedup.d14_retention_policies(spark, dir).collect()
+      .find(_.getAs[String]("policy") == "keep_first")
+      .getOrElse(fail("keep_first row missing"))
+    assert(kf.getAs[Long]("n_dropped") == 29L && kf.getAs[Long]("n_kept") == 1L)
+  }
+
   test("d13: report is bounded and decile-consistent on real data") {
     val rows = Dedup.d13_lsh_calibration(spark, sfDir).collect()
     assert(rows.nonEmpty, "the sf corpus contains near-dup pairs")
