@@ -447,6 +447,20 @@ object TextOps {
     // (cuts aggregate + bucketing) — persist IT, not t16's exploded
     // stream, and take the sort-free surprisalFrame (t16's orderBy is
     // presentation-only; re-sorting before a 3-group aggregate is waste)
+    //
+    // Histogram fusion evaluated and REJECTED in r14 (the r13 verdict's
+    // t24 plan idea): collapsing scored to its value-level histogram
+    // first (groupBy(avg_surprisal) carrying the report payload, cuts
+    // via exact weighted percentile(value, p, n_docs), bucket report
+    // from the tiny histogram) was oracle-green but measured SLOWER at
+    // sf1 — min-of-3 same-day 2.83 s vs 2.60 s for this shape — because
+    // the extra histogram exchange costs a full job floor while the two
+    // jobs it shrinks already scan a cached 3-long-column frame. The
+    // ≤2× target is also structurally out of reach for ANY t24 plan:
+    // t24's wall ⊇ t16's pipeline (floor-pinned at 2.4×) while t24's
+    // oracle re-runs t16's fused pass at near-zero marginal cost, so
+    // ratio(t24) ≥ wall(t16)/oracle(t24) ≈ 2.0 even if the cut+bucket
+    // jobs were free.
     val scored = surprisalFrame(spark, dir)
       .select("doc_id", "n_bigrams", "avg_surprisal")
       .persistTracked
