@@ -49,9 +49,18 @@ object Bench {
         only.forall(s => s(name) || s(shortId(name))) }
     require(ordered.map(p => shortId(p._1)).distinct.size == ordered.size,
       "bench short ids must stay unique — rename the colliding entry")
-    // warmup pass (also primes parquet footer caches / broadcast relations)
+    // warmup pass (also primes parquet footer caches / broadcast
+    // relations). Drop the DATA cache after each warmup entry: what the
+    // warmup exists to prime (JIT, codegen, footer caches, broadcast
+    // codepaths) survives clearCache, while the persisted frames do NOT
+    // accumulate — 175 entries' worth of sf10 persists in one JVM OOMed
+    // the 16g driver during the r14 full-suite warmup (exit 52 at
+    // ~26 min) before a single entry was timed. Timed semantics are
+    // unchanged: the timed loop already clears between entries, so every
+    // timed run always started from a cold data cache.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     // Several operators persist intermediates; dropping the cache between
     // queries keeps each timed run self-contained (its own persist cost
