@@ -660,6 +660,66 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Batched m7 fixture generator — byte-identical pixels to
+    * [[m7SynthPng]] row for row (spec-pinned), restructured for the
+    * per-TASK cost profile (guide §1.2 step 2: per-task work):
+    *
+    *  - ONE MessageDigest per partition instead of 64 `getInstance`
+    *    calls per document;
+    *  - the 60-bit sha prefix taken numerically from the digest bytes
+    *    (15 hex digits of the first 8 bytes == big-endian long >>> 4)
+    *    instead of formatting and re-parsing a hex string per pixel;
+    *  - the 64 group-base values cached across the ≤4 consecutive docs
+    *    of one group (variants only SWAP two positions of the shared
+    *    base pattern), so sha runs once per (group, pixel), not once
+    *    per (doc, pixel).
+    *
+    * The REAL m7 path — PNG decode → aHash → band join — is untouched;
+    * this only makes the synthetic corpus cheap to mint.
+    */
+  private[ops] def m7SynthPngBatch(ids: Iterator[Long]): Iterator[(Long, Array[Byte])] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    var cachedGrp = Long.MinValue
+    val base = new Array[Int](64)
+    ids.map { id =>
+      val grp = id / 4
+      if (grp != cachedGrp) {
+        var j = 0
+        while (j < 64) {
+          base(j) =
+            if (j == 63) 0
+            else {
+              md.reset()
+              val d = md.digest(s"${grp}_${j}".getBytes("UTF-8"))
+              // 15-hex-digit prefix of the digest == unsigned big-endian
+              // long of bytes 0..7 shifted right one nibble
+              var acc = 0L
+              var b = 0
+              while (b < 8) { acc = (acc << 8) | (d(b) & 0xffL); b += 1 }
+              ((acc >>> 4) % 251L).toInt
+            }
+          j += 1
+        }
+        cachedGrp = grp
+      }
+      val k = (id % 4).toInt
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < 64) {
+        val j = if (k > 0 && i == 2 * k - 2) 2 * k - 1
+                else if (k > 0 && i == 2 * k - 1) 2 * k - 2
+                else i
+        val v = base(j)
+        img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      id -> bos.toByteArray
+    }
+  }
+
   /** Pixel i (row-major, 0..63) of doc `id`'s synthetic image. Docs come
     * in GROUPS of 4 (id div 4): the base pattern is sha256(group, i) —
     * avalanching, so band buckets stay uniform and cross-group pairs
@@ -704,11 +764,23 @@ object Multimodal {
     */
   def m7_phash_dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables(spark, dir).documents.select(col("doc_id")).as[Long]
+    // The id list arrives as ONE scan task (documents.parquet is a single
+    // small file at test SFs), which would serialize ~1 ms/doc of codec
+    // work on one core while 31 idle — the guide §2.5 "input skew" case.
+    // RANGE-partition the ids so each task owns a contiguous id span:
+    // same 32× spread as a round-robin repartition, but group members
+    // (id div 4) stay adjacent, so the per-partition group cache in the
+    // batch generator keeps its 4× sha saving. At lake scale the scan
+    // already has thousands of splits and the exchange moves only 8-byte
+    // ids — never payloads.
+    val par = spark.sparkContext.defaultParallelism
+    val media = Tables(spark, dir).documents.select(col("doc_id"))
+      .repartitionByRange(par, col("doc_id")).as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)
-        ids.map(id => MediaRow(id, "image", m7SynthPng(id),
-          8, 8, 0))
+        m7SynthPngBatch(ids).map { case (id, png) =>
+          MediaRow(id, "image", png, 8, 8, 0)
+        }
       }
     imagePhashPairs(media)
   }

@@ -149,7 +149,14 @@ object PipelineOps {
     */
   def t13_corpus_report(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // n_docs and total_ws_tokens ride ONE corpus scan/aggregate (r14:
+    // they were two separate passes over the same table — guide §2.4's
+    // "two operations keyed the same way share one pass"); the dup-text,
+    // near-dup and contamination counts keep their own component
+    // pipelines (each is a different oracle-checked operator).
+    val docStats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr(s"size(${TextOps.TOKENS})")).cast("long").as("total_ws_tokens"))
     val dupTexts = docs.groupBy("text").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
       .agg(count(lit(1)).as("n_dup_texts"))
@@ -158,10 +165,9 @@ object PipelineOps {
     val contaminated = t9_decontaminate(spark, dir)
       .filter(col("contaminated"))
       .agg(count(lit(1)).as("n_contaminated"))
-    val tokens = docs
-      .agg(sum(expr(s"size(${TextOps.TOKENS})")).cast("long").as("total_ws_tokens"))
-    nDocs.crossJoin(dupTexts).crossJoin(nearDups)
-      .crossJoin(contaminated).crossJoin(tokens)
+    docStats.crossJoin(dupTexts).crossJoin(nearDups).crossJoin(contaminated)
+      .select("n_docs", "n_dup_texts", "n_near_dup_pairs",
+        "n_contaminated", "total_ws_tokens")
   }
 
   lazy val t13_oracle: String =
@@ -254,6 +260,16 @@ object PipelineOps {
     * SYSTEM, not just individually. [oracle]
     */
   def p1_curation_funnel(spark: SparkSession, dir: String): DataFrame = {
+    // ONE conditional-aggregation pass instead of five unioned
+    // stage-aggregates (r14, guide §2.4): the old shape re-ran the
+    // cumulative join chain per stage (s4's subtree contains s0..s3's),
+    // scheduling 32 AQE jobs whose local floors dominated the entry and
+    // whose repeated passes would each re-touch the corpus at 100 TB.
+    // Here each component keep-set is LEFT-joined once as a boolean flag
+    // (every keep-set carries doc_id at most once, so no fan-out), and
+    // all five cumulative stage counts come out of a single aggregate —
+    // stage i = rows where flags 1..i all hold, exactly the old inner
+    // join chain's membership. The 5-row funnel is then a 1-row explode.
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("text"),
         expr(s"CAST(size(${TextOps.TOKENS}) AS BIGINT)").as("ntok"))
@@ -265,21 +281,32 @@ object PipelineOps {
     val keepers = docs.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
     val clean = t9_decontaminate(spark, dir)
       .filter(!col("contaminated")).select("doc_id")
-    val s0 = docs.select("doc_id", "ntok")
-    val s1 = s0.join(langOk, "doc_id")
-    val s2 = s1.join(qualOk, "doc_id")
-    val s3 = s2.join(keepers, "doc_id")
-    val s4 = s3.join(clean, "doc_id")
-    Seq(("raw", s0), ("lang_match", s1), ("quality", s2),
-        ("dedup_keeper", s3), ("train_decontam", s4))
-      .zipWithIndex.map { case ((nm, df), i) =>
-        df.agg(
-            count(lit(1)).as("n_docs"),
-            coalesce(sum("ntok"), lit(0L)).cast("long").as("n_tokens"))
-          .select(lit(i.toLong).as("stage"), lit(nm).as("name"),
-            col("n_docs"), col("n_tokens"))
-      }
-      .reduce(_ unionAll _)
+    val flagged = docs.select("doc_id", "ntok")
+      .join(langOk.withColumn("f1", lit(true)), Seq("doc_id"), "left")
+      .join(qualOk.withColumn("f2", lit(true)), Seq("doc_id"), "left")
+      .join(keepers.withColumn("f3", lit(true)), Seq("doc_id"), "left")
+      .join(clean.withColumn("f4", lit(true)), Seq("doc_id"), "left")
+      .select(col("ntok"),
+        coalesce(col("f1"), lit(false)).as("k1"),
+        coalesce(col("f1") && col("f2"), lit(false)).as("k2"),
+        coalesce(col("f1") && col("f2") && col("f3"), lit(false)).as("k3"),
+        coalesce(col("f1") && col("f2") && col("f3") && col("f4"), lit(false)).as("k4"))
+    def stageAggs(i: Int, keep: org.apache.spark.sql.Column)
+        : Seq[org.apache.spark.sql.Column] = Seq(
+      count(when(keep, lit(1))).as(s"d$i"),
+      coalesce(sum(when(keep, col("ntok"))), lit(0L)).cast("long").as(s"t$i"))
+    val one = flagged.agg(
+      count(lit(1)).as("d0"),
+      (Seq(coalesce(sum(col("ntok")), lit(0L)).cast("long").as("t0")) ++
+        stageAggs(1, col("k1")) ++ stageAggs(2, col("k2")) ++
+        stageAggs(3, col("k3")) ++ stageAggs(4, col("k4"))): _*)
+    val names = Seq("raw", "lang_match", "quality", "dedup_keeper", "train_decontam")
+    one.select(explode(array(names.zipWithIndex.map { case (nm, i) =>
+        struct(lit(i.toLong).as("stage"), lit(nm).as("name"),
+          col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+      }: _*)).as("s"))
+      .select(col("s.stage").as("stage"), col("s.name").as("name"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
       .orderBy("stage")
   }
 

@@ -550,6 +550,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m7 batch fixture generator is byte-identical to the per-doc reference") {
+    // r14 optimization: m7_phash_dedup mints its synthetic corpus through
+    // m7SynthPngBatch (one digest per partition, numeric sha prefix,
+    // per-group value cache). The pin: for ordered, unordered, and
+    // group-straddling id sequences, the batch output decodes to the
+    // same pixels as the slow single-doc reference.
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 7L, 6L, 5L, 17L, 101L, 4096L, 102L)
+    val batch = Multimodal.m7SynthPngBatch(ids.iterator).toMap
+    for (id <- ids) {
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.m7SynthPng(id)))
+      val got = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(batch(id)))
+      for (x <- 0 until 8; y <- 0 until 8)
+        assert(got.getRGB(x, y) == ref.getRGB(x, y),
+          s"doc $id pixel ($x,$y): batch generator diverged from reference")
+    }
+  }
+
   test("m7 entry: within-group near-dup pairs surface from the real decode path") {
     val pairs = Multimodal.m7_phash_dedup(spark, sfDir).collect()
     assert(pairs.nonEmpty)
