@@ -722,8 +722,29 @@ object ModelEngine {
 
   def unitDiff(actual: org.apache.spark.sql.DataFrame,
                expected: org.apache.spark.sql.DataFrame): UnitDiff = {
-    val exp = expected.select(actual.columns.map(org.apache.spark.sql.functions.col(_)): _*)
-    UnitDiff(exp.count(), actual.count(),
-      exp.exceptAll(actual).count(), actual.exceptAll(exp).count())
+    import org.apache.spark.sql.functions._
+    val exp = expected.select(actual.columns.map(col(_)): _*)
+    // ONE job instead of four (r14): the old shape ran count() twice and
+    // exceptAll().count() twice — four actions, each re-executing its
+    // input's plan. Bag-diff algebra gives all four numbers from one
+    // per-distinct-row multiplicity table: tag each side, union, group
+    // by the whole row (struct grouping treats NULLs as equal, exactly
+    // exceptAll's bag semantics), then
+    //   nMissing    = Σ max(exp_count − act_count, 0)
+    //   nUnexpected = Σ max(act_count − exp_count, 0).
+    val tagged = exp
+      .select(struct(exp.columns.map(col(_)): _*).as("__r"),
+        lit(1L).as("__e"), lit(0L).as("__a"))
+      .unionAll(actual.select(struct(actual.columns.map(col(_)): _*).as("__r"),
+        lit(0L).as("__e"), lit(1L).as("__a")))
+    val r = tagged.groupBy("__r")
+      .agg(sum("__e").as("e"), sum("__a").as("a"))
+      .agg(
+        sum(col("e")).as("ne"), sum(col("a")).as("na"),
+        sum(greatest(col("e") - col("a"), lit(0L))).as("miss"),
+        sum(greatest(col("a") - col("e"), lit(0L))).as("unexp"))
+      .collect()(0)
+    def n(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    UnitDiff(n(0), n(1), n(2), n(3))
   }
 }

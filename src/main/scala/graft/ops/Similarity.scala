@@ -256,7 +256,10 @@ object Similarity {
     val exactDf = broadcast(pairs.toDF("query_id", "neighbor_id"))
     // distinct BEFORE counting hits: an ANN result that emits the same
     // (query, neighbor) pair twice (multi-probe overlap, un-deduped
-    // rerank) must count one true hit, not inflate recall past reality
+    // rerank) must count one true hit, not inflate recall past reality.
+    // (r14 note: a driver-side collect-and-compare variant was measured
+    // — job counts and walls were unchanged within noise, and it erased
+    // the ANN pipeline from the entry's explain output; kept lazy.)
     val hits = ann.select("query_id", "neighbor_id").distinct()
       .join(exactDf, Seq("query_id", "neighbor_id"), "left_semi")
     exactDf.agg(

@@ -185,4 +185,42 @@ class ModelEngineSpec extends SparkSpec {
       "lineage must drop the scratch bindings it created")
     spark.catalog.dropTempView("lin_keep")
   }
+
+  test("unitDiff single-job bag algebra matches exceptAll semantics") {
+    // r14 optimization pin: unitDiff fused its four actions (2 counts +
+    // 2 exceptAll counts) into one union+groupBy aggregate. The pin
+    // compares it against the exceptAll reference on duplicates, NULLs,
+    // disjoint bags, identical bags, and an empty side.
+    import spark.implicits._
+    def ref(actual: org.apache.spark.sql.DataFrame,
+            expected: org.apache.spark.sql.DataFrame) = {
+      val exp = expected.select(actual.columns.map(
+        org.apache.spark.sql.functions.col(_)): _*)
+      (exp.count(), actual.count(),
+        exp.exceptAll(actual).count(), actual.exceptAll(exp).count())
+    }
+    val cases: Seq[(Seq[(java.lang.Long, String)], Seq[(java.lang.Long, String)])] = Seq(
+      // duplicates with different multiplicities
+      (Seq((1L: java.lang.Long, "a"), (1L, "a"), (2L, "b")),
+        Seq((1L: java.lang.Long, "a"), (2L, "b"), (2L, "b"))),
+      // NULLs must compare equal (exceptAll's bag semantics)
+      (Seq((null: java.lang.Long, "x"), (1L, null)),
+        Seq((null: java.lang.Long, "x"), (1L, null))),
+      // disjoint
+      (Seq((1L: java.lang.Long, "a")), Seq((2L: java.lang.Long, "b"))),
+      // identical
+      (Seq((1L: java.lang.Long, "a"), (2L, "b")),
+        Seq((1L: java.lang.Long, "a"), (2L, "b"))),
+      // empty expected
+      (Seq.empty, Seq((1L: java.lang.Long, "a")))
+    )
+    for ((e, a) <- cases) {
+      val expDf = e.toDF("k", "v")
+      val actDf = a.toDF("k", "v")
+      val d = ModelEngine.unitDiff(actDf, expDf)
+      val (ne, na, miss, unexp) = ref(actDf, expDf)
+      assert((d.nExpected, d.nActual, d.nMissing, d.nUnexpected) ==
+        ((ne, na, miss, unexp)), s"diverged on exp=$e act=$a")
+    }
+  }
 }
