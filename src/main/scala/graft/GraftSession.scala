@@ -29,6 +29,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Prefer shuffled-hash over sort-merge when the planner's size
+      // conditions hold, and let AQE rewrite SMJ→SHJ at runtime when
+      // every post-shuffle partition is under 64 MB (guide §3.1): the
+      // hash build skips both sides' sorts. The 64 MB per-partition
+      // bound is what keeps this safe at 100 TB — a build side that
+      // cannot fit stays sort-merge.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        (64L * 1024 * 1024).toString)
       // Timezone-less parquet timestamps (what pandas/arrow/DuckDB write)
       // read as TIMESTAMP, not TIMESTAMP_NTZ: the engine's event-time
       // operators (unix_micros, window, session_window) are defined over
