@@ -537,13 +537,20 @@ object Similarity {
         (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt) ->
           r.getSeq[Double](2).toArray
       }.toMap
+    // corpus row count rides the (already collected) Lloyd means — one
+    // count() job fewer; Σ over codes of the (sub=0, dim=0) group counts
+    // is exactly |unit| (one row per vec_id lands in that slice)
+    var corpusN = 0L
     for (_ <- 0 until 3) {
       // one job per Lloyd round: assign fused into the means aggregate
       // (shuffle carries 16×16×4 = 1024 (sub, code, dim) keys)
       val means = assign(centDf(cent))
         .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "v")))
-        .groupBy("sub", "code", "dim").agg(avg("v").as("m"))
+        .groupBy("sub", "code", "dim").agg(avg("v").as("m"), count(lit(1)).as("cnt"))
         .collect()
+      corpusN = means.filter(r =>
+        r.getAs[Int]("sub") == 0 && r.getAs[Int]("dim") == 0)
+        .map(_.getAs[Long]("cnt")).sum
       val next = scala.collection.mutable.Map(cent.toSeq: _*) // empty clusters keep old centroid
       means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"))).foreach {
         case (key, rows) =>
@@ -569,7 +576,9 @@ object Similarity {
     // flat 50 — the sf10 oracle sweep measured its recall contract red
     // there, while ~0.4% of the corpus surviving to exact rerank keeps
     // recall flat across decades at O(shortlist·|Q|) rerank cost.
-    val nShort = math.max(50L, unit.count() / 250).toInt
+    // (corpusN rides the already-collected Lloyd means — same exact
+    // count, one count() job fewer.)
+    val nShort = math.max(50L, corpusN / 250).toInt
     val adc = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
@@ -676,11 +685,18 @@ object Similarity {
         (r.getAs[Int]("sub"), r.getAs[Long]("vec_id").toInt) ->
           r.getSeq[Double](2).toArray
       }.toMap
+    // corpus row count rides the (already collected) Lloyd means — one
+    // count() job fewer (same trick as s6: the (sub=0, dim=0) slice has
+    // one row per vec_id, so its group counts sum to |unit|)
+    var corpusN = 0L
     for (_ <- 0 until 2) {
       val means = assign(centDf(cent))
         .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("dim", "v")))
-        .groupBy("sub", "code", "dim").agg(avg("v").as("m"))
+        .groupBy("sub", "code", "dim").agg(avg("v").as("m"), count(lit(1)).as("cnt"))
         .collect()
+      corpusN = means.filter(r =>
+        r.getAs[Int]("sub") == 0 && r.getAs[Int]("dim") == 0)
+        .map(_.getAs[Long]("cnt")).sum
       val next = scala.collection.mutable.Map(cent.toSeq: _*)
       means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"))).foreach {
         case (key, rows) =>
@@ -732,8 +748,9 @@ object Similarity {
     // the corpus: measured recall@5 = 0.8/0.92/1.0 at sf1/0.01/0.1 and
     // clears the 0.6 contract at sf10 (200k vectors), where a flat 200
     // measured 0.56. Rerank cost stays O(shortlist·|Q|) rows — driver
-    // state is one count, never vectors.
-    val nShort = math.max(200L, unit.count() / 250).toInt
+    // state is one count, never vectors. (corpusN rides the
+    // already-collected Lloyd means — same exact count, no extra job.)
+    val nShort = math.max(200L, corpusN / 250).toInt
     val adc = codes.join(broadcast(lut), Seq("cluster", "sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")

@@ -20,7 +20,7 @@ object ModelQueries {
     * (reference: examples/postgres/models/revenue.sql).
     */
   def a1_model_dag(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders","customer"))
     val models = ModelParser.parseModelFile(
       """CREATE VIEW big_orders AS
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -63,7 +63,7 @@ object ModelQueries {
     * miscredited) breaks the hash. [oracle]
     */
   def a6_lineage(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders","customer"))
     val models = ModelParser.parseModelFile(
       """CREATE VIEW big_orders AS
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -104,7 +104,7 @@ object ModelQueries {
     * row per test with its boolean outcome.
     */
   def a3_model_assert(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders","customer"))
     val tests = ModelParser.parseTestFile(
       """ASSERT NOT EXISTS (
         |  SELECT 1 FROM orders WHERE o_totalprice <= 0
@@ -135,7 +135,7 @@ object ModelQueries {
     * for this DAG, so the expected rows are fixed literals.
     */
   def a2_model_types(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders"))
     val models = ModelParser.parseModelFile(
       """CREATE VIEW typed_orders AS
         |  SELECT o_orderkey, o_totalprice, o_orderdate,
@@ -177,7 +177,7 @@ object ModelQueries {
     * dependency-extraction or type-inference regression breaks the hash.
     */
   def a4_model_docs(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders","customer"))
     val models = ModelParser.parseModelFile(
       """CREATE VIEW big_orders AS
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -226,7 +226,7 @@ object ModelQueries {
     * change-hash skipping is what a 100 TB nightly DAG needs.)
     */
   def a5_incremental(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders"))
     val wh = tmpWarehouse()
     def dag(threshold: Int) = ModelParser.parseModelFile(
       s"""CREATE TABLE inc_big_orders AS
@@ -267,7 +267,7 @@ object ModelQueries {
     * metadata, so the entry also guards dependency extraction. [oracle]
     */
   def a7_selectors(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders","customer"))
     val models = ModelParser.parseModelFile(
       """CREATE VIEW sel_src_a AS
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders;
@@ -303,7 +303,7 @@ object ModelQueries {
     * contract — a regression in either algebra breaks the hash. [oracle]
     */
   def a8_impact(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders","customer"))
     val models = ModelParser.parseModelFile(
       """CREATE VIEW sel_src_a AS
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders;
@@ -520,7 +520,7 @@ object ModelQueries {
     * are tiny; every count is an O(fixture) job. [oracle]
     */
   def a11_unit_tests(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders"))
     spark.table("orders").filter(col("o_orderkey") % 97 === 0)
       .createOrReplaceTempView("fixture_orders")
     val models = ModelParser.parseModelFile(
@@ -603,7 +603,7 @@ object ModelQueries {
     * CSV-parse → type-infer → materialize → join path. [oracle]
     */
   def a12_seeds(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("nation","region"))
     val seedDir = java.nio.file.Files.createTempDirectory("graft_seeds").toString
     java.nio.file.Files.write(
       java.nio.file.Paths.get(seedDir, "region_zones.csv"),
@@ -655,7 +655,7 @@ object ModelQueries {
     * entry pins both failure modes plus the passing case. [oracle]
     */
   def a13_contracts(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders"))
     val engine = new ModelEngine(spark)
     engine.run(ModelParser.parseModelFile(
       """CREATE VIEW c_orders AS
@@ -710,7 +710,7 @@ object ModelQueries {
     * same history in closed form from the two source states. [oracle]
     */
   def a14_snapshot(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("nation"))
     val wh = tmpWarehouse()
     val engine = new ModelEngine(spark)
     def state(bumped: Boolean) = spark.sql(

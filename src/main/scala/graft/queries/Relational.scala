@@ -470,7 +470,7 @@ object Relational {
     * per-outer-row subquery execution (the thing that cannot scale).
     */
   def q62_lateral(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("nation","customer"))
     spark.sql(LATERAL_TEXT)
   }
 
@@ -509,7 +509,7 @@ object Relational {
     * the benched entry now carries the shape real projects ship.
     */
   def q63_recursive(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("lineitem","orders","customer","supplier"))
     // one edges pass, materialized; eager localCheckpoint cuts lineage so
     // each recursion step re-reads ~600 contracted rows, never the facts.
     // The view is NAMESPACED (graft_q63_…) so it cannot collide with
@@ -847,7 +847,7 @@ object Relational {
     * (the model engine routes every .sql file through it).
     */
   def q41_sql_text(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders","customer"))
     spark.sql(SQL_TEXT)
   }
 
@@ -980,7 +980,7 @@ object Relational {
     * is engine-independent. [oracle]
     */
   def q54_listagg(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("orders"))
     spark.sql(
       """SELECT o_orderpriority,
         |  listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
@@ -1180,7 +1180,7 @@ object Relational {
     * each, never a per-row subquery loop (the thing that cannot scale).
     */
   def q47_exists(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("customer","orders"))
     spark.sql(EXISTS_TEXT)
   }
 
@@ -1206,7 +1206,7 @@ object Relational {
     * ordered NULLS FIRST explicitly so engines agree.
     */
   def q46_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
-    Tables(spark, dir).registerAll()
+    Tables(spark, dir).register(Seq("lineitem"))
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping_id() AS BIGINT) AS gid,
