@@ -347,6 +347,10 @@ object PipelineOps {
         expr(s"size(${TextOps.TOKENS})").cast("long").as("toks"))
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("n_tokens"))
+    // (r14 note: p2's whole-frame-window rewrite was A/B'd here and came
+    // out slightly NEGATIVE (0.28 → 0.34 s min-of-2) — this single-level
+    // shape's cells exchange is already reused at runtime, so the window
+    // only added its own exchange. Kept as-is.)
     val total = cells.agg(sum("n_tokens").cast("long").as("total_tokens"))
     cells.crossJoin(broadcast(total))
       .withColumn("permille_tokens", expr("n_tokens * 1000L DIV total_tokens"))
@@ -704,12 +708,22 @@ object PipelineOps {
       .persistTracked
     val cells = docs.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("n_tokens"))
-    val plan = cells
-      .crossJoin(broadcast(cells.agg(count(lit(1)).as("n_src"))))
+    // The frame-level scalars (n_src, min cap, total kept) ride
+    // whole-frame WINDOWS over the n_sources-row plan instead of a
+    // crossJoin(broadcast(agg)) lattice that re-derived the cells
+    // subtree at every level (r14: 25 planned exchanges → 6, 33
+    // scheduled jobs → ~8; arithmetic unchanged, oracle identical).
+    // A single-partition window over O(sources) rows is safe at any
+    // corpus size — source count is configuration-bounded.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = cells
+      .withColumn("n_src", count(lit(1)).over(wAll))
       .withColumn("target_pm", expr("1000L DIV n_src"))
       .withColumn("cap", expr("n_tokens * 1000L DIV target_pm"))
-    val rates = plan
-      .crossJoin(broadcast(plan.agg(min("cap").as("budget"))))
+      .withColumn("budget", min("cap").over(wAll))
       .withColumn("rate_pm", least(lit(1000L),
         expr("(budget * target_pm DIV 1000L) * 1000L DIV n_tokens")))
       .select("source", "n_docs", "n_tokens", "target_pm", "rate_pm")
@@ -718,8 +732,12 @@ object PipelineOps {
       .filter(col("ticket") < col("rate_pm"))
       .groupBy("source")
       .agg(count(lit(1)).as("kept_docs"), sum("toks").cast("long").as("kept_tokens"))
+    // Σ kept_tokens over the left join (sum skips the NULLs of absent
+    // sources) ≡ the old kept.agg(sum) — including NULL when NOTHING was
+    // kept, so achieved_pm degrades to NULL exactly as before instead of
+    // an ANSI division-by-zero
     rates.join(kept, Seq("source"), "left")
-      .crossJoin(broadcast(kept.agg(sum("kept_tokens").cast("long").as("total_kept"))))
+      .withColumn("total_kept", sum(col("kept_tokens")).over(wAll).cast("long"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("target_pm"), col("rate_pm"),
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
@@ -1006,10 +1024,16 @@ object PipelineOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("n_tokens"))
       .withColumn("wgt", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    // frame-level totals as whole-frame windows over the n_sources-row
+    // cells (p2's r14 rewrite): the crossJoin(broadcast(agg)) shape ran
+    // the corpus aggregate subtree twice
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     cells
-      .crossJoin(broadcast(cells.agg(
-        sum("wgt").cast("long").as("wsum"),
-        sum("n_tokens").cast("long").as("budget"))))
+      .withColumn("wsum", sum("wgt").over(wAll).cast("long"))
+      .withColumn("budget", sum("n_tokens").over(wAll).cast("long"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         expr("n_tokens * 1000L DIV budget").as("natural_pm"),
         expr("wgt * 1000L DIV wsum").as("target_pm"),
@@ -1062,10 +1086,16 @@ object PipelineOps {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"),
         sum(expr("n_tokens * keep")).cast("long").as("n_hq_tokens"))
+    // frame-level totals as whole-frame windows (p2's r14 rewrite): the
+    // crossJoin(broadcast(agg)) shape ran the cells subtree — and its
+    // t19-join corpus pass — twice
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     cells
-      .crossJoin(broadcast(cells.agg(
-        sum("n_tokens").cast("long").as("tot"),
-        sum("n_hq_tokens").cast("long").as("tot_hq"))))
+      .withColumn("tot", sum("n_tokens").over(wAll).cast("long"))
+      .withColumn("tot_hq", sum("n_hq_tokens").over(wAll).cast("long"))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_hq_tokens"),
         expr("(tot * 9L DIV 10L) * n_tokens DIV tot").as("pretrain_tokens"),
         expr("(tot DIV 10L) * n_hq_tokens DIV tot_hq").as("anneal_tokens"),
@@ -1279,10 +1309,16 @@ object PipelineOps {
       .select(col("source"), expr(s"size(${TextOps.TOKENS})").cast("long").as("toks"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("tokens"))
-      .persistTracked // |sources| rows — the total derives from it, not a 2nd scan
-    val tot = per.agg(sum("tokens").cast("long").as("total"),
-      count(lit(1)).as("n_src"))
-    per.crossJoin(broadcast(tot))
+    // totals as whole-frame windows over the |sources|-row frame (p2's
+    // r14 rewrite) — replaces the persist + agg + crossJoin trio with
+    // one tiny window exchange
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("total", sum("tokens").over(wAll).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(wAll))
       .withColumn("target_tokens",
         expr(s"($BudgetNum * total) DIV ($BudgetDen * n_src)"))
       .withColumn("epochs_full",

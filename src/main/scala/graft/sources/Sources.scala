@@ -195,14 +195,13 @@ object Sources {
     val t = graft.Tables(spark, dir)
     val liSlice = t.lineitem.select("l_orderkey", "l_quantity", "l_shipdate")
     val ordSlice = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    // Parallelize the export (r14, guide §2.5 input skew): each source is
-    // ONE parquet file at test SFs, so the CSV/JSONL serialization — the
-    // expensive half of the round trip — ran as a single task. Round-robin
-    // repartition spreads the formatting across the cluster; the readers
-    // below take any file count, and the aggregate is order-independent.
-    val par = spark.sparkContext.defaultParallelism
-    liSlice.repartition(par).write.option("header", "true").csv(s"$scratch/li_csv")
-    ordSlice.repartition(par).write.json(s"$scratch/ord_jsonl")
+    // (r14 note: a pre-write round-robin repartition was A/B'd and came
+    // out NEUTRAL at sf0.1 — the CSV/JSONL serialization is not this
+    // entry's bottleneck — while at scale the scan already parallelizes
+    // and the exchange would shuffle the whole slice for nothing. Writes
+    // stay on the scan's partitioning.)
+    liSlice.write.option("header", "true").csv(s"$scratch/li_csv")
+    ordSlice.write.json(s"$scratch/ord_jsonl")
     val li = csv(spark, s"$scratch/li_csv", liSlice.schema)
     val ord = jsonLines(spark, s"$scratch/ord_jsonl", ordSlice.schema)
     val rows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
