@@ -650,10 +650,15 @@ class PlanSpec extends SparkSpec {
     val plan = formatted(df)
     assert(nodeCount(plan, "Scan parquet") <= 1,
       s"one token-count scan feeds the |sources|-row plan:\n$plan")
-    assert(plan.contains("InMemoryTableScan"),
-      s"the total must derive from the persisted per-source frame, not a 2nd scan:\n$plan")
-    assert(nodeCount(plan, "SortMergeJoin") == 0 && !plan.contains("CartesianProduct"),
-      s"the only join is the 1-row broadcast total:\n$plan")
+    // r14: the totals ride a whole-frame window over the |sources|-row
+    // aggregate (replacing the persist + agg + crossJoin trio), so the
+    // plan has NO join of any kind and exactly one Window over the tiny
+    // frame — the corpus is still scanned once and never joined
+    assert(nodeCount(plan, "Window") == 1,
+      s"totals ride one whole-frame window over the |sources|-row frame:\n$plan")
+    assert(nodeCount(plan, "SortMergeJoin") == 0 && !plan.contains("Join") &&
+      !plan.contains("CartesianProduct"),
+      s"no join of any kind — aggregates and the tiny window only:\n$plan")
     assert(nodeCount(plan, "HashAggregate") >= 2,
       s"per-source aggregate must run partial+final:\n$plan")
     df.sparkSession.sharedState.cacheManager.clearCache()
