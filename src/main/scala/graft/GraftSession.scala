@@ -29,15 +29,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // Prefer shuffled-hash over sort-merge when the planner's size
-      // conditions hold, and let AQE rewrite SMJ→SHJ at runtime when
-      // every post-shuffle partition is under 64 MB (guide §3.1): the
-      // hash build skips both sides' sorts. The 64 MB per-partition
-      // bound is what keeps this safe at 100 TB — a build side that
-      // cannot fit stays sort-merge.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        (64L * 1024 * 1024).toString)
+      // Shuffled-hash-join preference (preferSortMergeJoin=false + the
+      // 64 MB AQE SHJ threshold) was measured at TWO decades in r14 and
+      // REJECTED: +25% at sf0.1 but ~17% SLOWER at sf1 on the SMJ-planned
+      // entries (g2 2.15→2.54 s, s7 1.58→1.76 s, t27 0.34→0.48 s), and
+      // SHJ lacks SMJ's graceful spill when a build side is misestimated
+      // — the wrong trade at 100 TB. Defaults (sort-merge) stay.
       // Timezone-less parquet timestamps (what pandas/arrow/DuckDB write)
       // read as TIMESTAMP, not TIMESTAMP_NTZ: the engine's event-time
       // operators (unix_micros, window, session_window) are defined over

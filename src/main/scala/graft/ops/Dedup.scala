@@ -1117,9 +1117,15 @@ object Dedup {
       .select(col("doc_id"), col("pg.pos").as("pos"),
         sha256PrefixLong(col("pg.gram"), 15).as("gram"))
       .persistTracked
+    // persisted: the pair self-join references m (= posGrams ⋈ ok) on
+    // BOTH sides, and without the persist each side re-ran ok's whole
+    // two-exchange countDistinct over the gram table (the r15 before
+    // plan shows the duplicated subtree) — the cache costs one
+    // vocab-sized frame and halves that work
     val ok = posGrams.groupBy("gram")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df").between(2, SpanDfCap)).select("gram")
+      .persistTracked
     val m = posGrams.join(ok, Seq("gram"))
     // no distinct: posGrams carries exactly one row per (doc, pos) and a
     // position's gram is unique, so each joined (doc_a, doc_b, pos_a,
@@ -1130,9 +1136,19 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.pos").as("pos_a"), (col("a.pos") - col("b.pos")).as("diag"))
+    // ONE exchange for the whole islands tail (r15, guide §2.4): hash
+    // on (doc_a, doc_b) — a SUBSET of every downstream key — with the
+    // window's full ordering established in the same pass. The island
+    // window (clustered by pair+diag), the run aggregate, and the final
+    // per-pair aggregate all satisfy their distribution on this one
+    // partitioning, where the unhinted shape paid a second exchange to
+    // regroup (pair, diag) runs by pair.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    pairs.withColumn("island", col("pos_a") - row_number().over(w))
+    pairs
+      .repartition(col("doc_a"), col("doc_b"))
+      .sortWithinPartitions("doc_a", "doc_b", "diag", "pos_a")
+      .withColumn("island", col("pos_a") - row_number().over(w))
       .groupBy("doc_a", "doc_b", "diag", "island").agg(count(lit(1)).as("run"))
       .groupBy("doc_a", "doc_b")
       .agg((max("run") + (SpanGram - 1)).cast("long").as("longest_span"),

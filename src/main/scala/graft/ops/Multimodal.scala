@@ -769,13 +769,19 @@ object Multimodal {
     // work on one core while 31 idle — the guide §2.5 "input skew" case.
     // RANGE-partition the ids so each task owns a contiguous id span:
     // same 32× spread as a round-robin repartition, but group members
-    // (id div 4) stay adjacent, so the per-partition group cache in the
-    // batch generator keeps its 4× sha saving. At lake scale the scan
+    // stay adjacent, so the per-partition group cache in the batch
+    // generator keeps its 4× sha saving. The range key is the GROUP id
+    // (doc_id DIV 4), not doc_id: range boundaries are sample-based and
+    // a boundary on raw doc_id could split a 4-doc group across two
+    // partitions, silently recomputing its pixel base on both sides —
+    // equal range keys always co-locate, so keying on the group id makes
+    // the cache invariant hold at every boundary. At lake scale the scan
     // already has thousands of splits and the exchange moves only 8-byte
     // ids — never payloads.
     val par = spark.sparkContext.defaultParallelism
     val media = Tables(spark, dir).documents.select(col("doc_id"))
-      .repartitionByRange(par, col("doc_id")).as[Long]
+      .repartitionByRange(par, expr("doc_id DIV 4"), col("doc_id"))
+      .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)
         m7SynthPngBatch(ids).map { case (id, png) =>

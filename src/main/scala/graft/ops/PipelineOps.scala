@@ -809,40 +809,69 @@ object PipelineOps {
       .select(explode(expr(TextOps.TOKENS)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
       .persistTracked
+    wordpieceFromWords(words).orderBy("word")
+  }
+
+  /** The vocabulary derivation + greedy walk over a distinct-word
+    * (word, wcount) frame — shared by t26 (which adds the ORDER BY) and
+    * t29 (which joins n_pieces back to (lang, word) counts, so handing
+    * it a words frame derived from ITS aggregate tokenizes the corpus
+    * once instead of twice).
+    *
+    * Partitioning discipline (r15): `words` comes out of a groupBy(word)
+    * so it arrives hash(word)-partitioned, and every aggregation in the
+    * walk keys on word or a superset of it — (word, pos), then (word) —
+    * so the whole segmentation rides that ONE exchange; the vocab join
+    * is an explicit broadcast (the vocab is frequency-capped at ≲250
+    * pieces per length class + the charset + ≤250 whole words at ANY
+    * corpus size — guide §3.1's "you know a side is small").
+    */
+  private def wordpieceFromWords(words: DataFrame): DataFrame = {
     val totK = words.agg(
       expr("greatest(20L, coalesce(sum(wcount), 0L) DIV 250L)").as("k"))
 
-    val chars = words
-      .select(col("word"), explode(expr("sequence(1, length(word))")).as("i"))
-      .select(expr("substr(word, i, 1)").as("piece")).distinct()
-    val subs = words
+    // chars + counted substrings FUSED (r14's top deferral): one explode
+    // over lengths 1..4 and one aggregate instead of two passes and
+    // three aggregates. The sets are identical to the old derivation:
+    // an l-char piece is only generated at explode length l, so 1-char
+    // pieces (kept unconditionally — the coverage guarantee) and the
+    // count-thresholded 2-4-char pieces have exactly the old counts.
+    val short = words
       .select(col("word"), col("wcount"),
         explode(expr("sequence(1, length(word))")).as("i"))
       .select(col("word"), col("wcount"), col("i"),
-        explode(expr("array(2, 3, 4)")).as("l"))
+        explode(expr("array(1, 2, 3, 4)")).as("l"))
       .filter(expr("i + l - 1 <= length(word)"))
       .select(expr("substr(word, i, l)").as("piece"), col("wcount"))
       .groupBy("piece").agg(sum("wcount").cast("long").as("c"))
-      .crossJoin(broadcast(totK)).filter(col("c") >= col("k"))
+      .crossJoin(broadcast(totK))
+      .filter(expr("length(piece) = 1 OR c >= k"))
       .select("piece")
     val wholes = words.crossJoin(broadcast(totK))
       .filter(expr("length(word) >= 5 AND wcount >= k"))
       .select(col("word").as("piece"))
-    val vocab = chars.union(subs).union(wholes).distinct().persistTracked
+    // short pieces have length ≤ 4 and whole-word pieces ≥ 5: the legs
+    // are disjoint and each internally distinct, so the union needs no
+    // dedup exchange — same SET the old union().distinct() produced.
+    val vocab = short.union(wholes)
 
     // best (longest vocab-matching) piece per (word, position): whole
     // remaining word competes only at position 1, then lengths 4..1;
     // the single-char rows guarantee a match at EVERY position
     val cand = words
-      .select(col("word"), explode(expr("sequence(1, length(word))")).as("pos"))
-      .select(col("word"), col("pos"), explode(expr(
+      .select(col("word"), col("wcount"),
+        explode(expr("sequence(1, length(word))")).as("pos"))
+      .select(col("word"), col("wcount"), col("pos"), explode(expr(
         "CASE WHEN pos = 1 THEN array(length(word), 4, 3, 2, 1) " +
           "ELSE array(4, 3, 2, 1) END")).as("l"))
       .filter(expr("pos + l - 1 <= length(word)"))
-      .select(col("word"), col("pos"), col("l"),
+      .select(col("word"), col("wcount"), col("pos"), col("l"),
         expr("substr(word, pos, l)").as("piece"))
-    val best = cand.join(vocab, Seq("piece"))
-      .groupBy("word", "pos").agg(max("l").as("l"))
+    // wcount rides the aggregates (constant per word, so first() is
+    // deterministic) — the old words⋈maps join back for it is gone
+    val best = cand.join(broadcast(vocab), Seq("piece"))
+      .groupBy("word", "pos")
+      .agg(max("l").as("l"), first("wcount").as("wcount"))
       .withColumn("p", expr("substr(word, pos, l)"))
 
     // per-word position→(len, piece) map, then the greedy walk as TWO
@@ -856,10 +885,10 @@ object PipelineOps {
     // r9 bench once the bound became the exact length(word); the split
     // keeps the long-word steps integer-cheap and bounds the array
     // walk by the (usually tiny) piece count instead.
-    val maps = best.groupBy("word")
-      .agg(map_from_entries(collect_list(
-        struct(col("pos"), struct(col("l"), col("p"))))).as("m"))
-    words.join(maps, Seq("word"))
+    best.groupBy("word")
+      .agg(first("wcount").as("wcount"),
+        map_from_entries(collect_list(
+          struct(col("pos"), struct(col("l"), col("p"))))).as("m"))
       .withColumn("n_pieces", expr(
         """aggregate(sequence(1, length(word)),
           |  named_struct('pos', 1, 'n', CAST(0 AS BIGINT)),
@@ -875,7 +904,6 @@ object PipelineOps {
           |    'arr', array_append(acc.arr, element_at(m, acc.pos).p)),
           |  acc -> acc.arr))""".stripMargin))
       .select(col("word"), col("wcount"), col("n_pieces"), col("pieces"))
-      .orderBy("word")
   }
 
   /** DuckDB mirror of t26: identical vocabulary derivation and
@@ -952,10 +980,18 @@ object PipelineOps {
     * is vocab-sized, never corpus-sized. [oracle]
     */
   def t29_fertility(spark: SparkSession, dir: String): DataFrame = {
-    val wp = t26_wordpiece(spark, dir).select("word", "n_pieces")
+    // tokenize the corpus ONCE (r15): the (lang, word) counts are the
+    // finest grain, and t26's distinct-word counts are exactly their
+    // lang-marginal (integer-exact long sums) — the old call into
+    // t26_wordpiece re-exploded and re-aggregated the same corpus, and
+    // its ORDER BY sat uselessly under this join.
     val lw = Tables(spark, dir).documents
       .select(col("lang"), explode(expr(TextOps.TOKENS)).as("word"))
       .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .persistTracked
+    val words = lw.groupBy("word")
+      .agg(sum("c").cast("long").as("wcount")).persistTracked
+    val wp = wordpieceFromWords(words).select("word", "n_pieces")
     lw.join(wp, Seq("word"))
       .groupBy("lang")
       .agg(

@@ -504,7 +504,17 @@ object Similarity {
     val spark = unit.sparkSession
     import spark.implicits._
     val M = 16; val K = 16; val subDim = 4
-    val subvecs = unit.select(col("vec_id"), explode(array((0 until M).map(s =>
+    // hash(vec_id)-partition the persisted training frame ONCE (r15,
+    // guide §2.4 "share one exchange"): every Lloyd round's
+    // groupBy(vec_id, sub), the final encode, and the ADC
+    // groupBy(query_id, vec_id) all cluster on vec_id or a superset, so
+    // they ride this exchange instead of re-shuffling the corpus per
+    // round (3 rounds + encode + ADC = 5 corpus exchanges → 1). The
+    // repartition runs BEFORE the ×16 explode so it moves one row per
+    // doc, and explode/select/broadcast-join all preserve the
+    // partitioning.
+    val subvecs = unit.repartition(col("vec_id"))
+      .select(col("vec_id"), explode(array((0 until M).map(s =>
         struct(lit(s).as("sub"), slice(col("unit"), s * subDim + 1, subDim).as("subvec"))
       ): _*)).as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.subvec").as("subvec"))
@@ -652,11 +662,16 @@ object Similarity {
       (i, c.toSeq)
     }.toDF("cluster", "centroid"))
 
-    // residual per doc within its coarse cell (one narrow pass)
+    // residual per doc within its coarse cell (one narrow pass).
+    // hash(vec_id)-partitioned ONCE (r15, guide §2.4): the subvec frame
+    // below inherits this partitioning through its explode, so both
+    // Lloyd rounds' groupBy(vec_id, sub), the encode, and the ADC
+    // groupBy(query_id, vec_id) ride this single exchange.
     val assigned = assignToCentroid(unit, centroids)
       .join(centDfCoarse, Seq("cluster"))
       .withColumn("resid", zip_with(col("unit"), col("centroid"), (a, b) => a - b))
       .select(col("vec_id"), col("cluster"), col("resid"))
+      .repartition(col("vec_id"))
       .persistTracked
 
     val subvecs = assigned.select(col("vec_id"), col("cluster"),
@@ -672,12 +687,16 @@ object Similarity {
         (s, c, v.toSeq, v.map(x => x * x).sum)
       }.toDF("sub", "code", "cvec", "cnorm2"))
 
+    // cluster rides the aggregate (constant per vec_id, so first() is
+    // deterministic): the encode below reads it straight off `codes`
+    // instead of joining back to `assigned` (r15 — one join, two sorts
+    // and an aggregate input scan removed).
     def assign(cents: DataFrame): DataFrame =
       subvecs.join(cents, Seq("sub"))
         .withColumn("score", dot(col("subvec"), col("cvec")) - col("cnorm2") * 0.5)
         .groupBy("vec_id", "sub")
         .agg(max_by(col("code"), struct(col("score"), -col("code"))).as("code"),
-          first(col("subvec")).as("subvec"))
+          first(col("subvec")).as("subvec"), first(col("cluster")).as("cluster"))
 
     // deterministic init: residual subvectors of docs 0..K-1
     var cent: Map[(Int, Int), Array[Double]] = subvecs.filter(col("vec_id") < K)
@@ -708,8 +727,7 @@ object Similarity {
     }
 
     val codebook = centDf(cent)
-    val codes = assign(codebook).select("vec_id", "sub", "code")
-      .join(assigned.select("vec_id", "cluster"), Seq("vec_id"))
+    val codes = assign(codebook).select("vec_id", "cluster", "sub", "code")
 
     // query side: nprobe probed cells; per (query, cell) a 256-entry LUT
     // (10 queries × 4 probes × 16 subs × 16 codes = 10 240 rows) plus
@@ -959,13 +977,28 @@ object Similarity {
         explode(col("toks")).as("tok"))
     val qtoks = broadcast(toks.filter(col("doc_id") < nQ)
       .select(col("doc_id").as("query_id"), col("tok")).distinct())
-    val matches = toks.join(qtoks, Seq("tok"))
-    // true corpus df per query term: matched rows cover EVERY doc
-    // containing the term, so distinct-doc counts there are exact
-    val dfT = matches.select("tok", "doc_id").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    val tfT = matches.filter(col("doc_id") =!= col("query_id"))
-      .groupBy("query_id", "doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    // r15 restructure (guide §2.3 "shuffle fewer bytes" + §2.4): probe
+    // the posting lists with the distinct query VOCABULARY — no
+    // per-query row duplication — and aggregate (tok, doc) occurrence
+    // counts ONCE on a single hash(tok) exchange. tf for (query, doc,
+    // tok) never depended on the query (it is the term's occurrence
+    // count in the doc), so the old per-query tf aggregate recomputed
+    // the same counts |queries-sharing-the-term| times and shuffled the
+    // duplicates; df rides the same exchange (occ is (tok, doc)-unique,
+    // so its per-tok count IS the distinct-doc count, replacing the old
+    // distinct + count pair of exchanges). Query ids re-attach by
+    // broadcast afterwards.
+    val qterms = broadcast(qtoks.select("tok").distinct())
+    // persisted: both the broadcast df build and the scoring path read
+    // occ, and without the persist each would re-run the probe join and
+    // its exchange
+    val occ = toks.join(qterms, Seq("tok"))
+      .repartition(col("tok"))
+      .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .persistTracked
+    val dfT = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tfT = occ.join(qtoks, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
     val stats = withToks.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("a_tokens"))
