@@ -980,18 +980,20 @@ object PipelineOps {
     * is vocab-sized, never corpus-sized. [oracle]
     */
   def t29_fertility(spark: SparkSession, dir: String): DataFrame = {
-    // tokenize the corpus ONCE (r15): the (lang, word) counts are the
-    // finest grain, and t26's distinct-word counts are exactly their
-    // lang-marginal (integer-exact long sums) — the old call into
-    // t26_wordpiece re-exploded and re-aggregated the same corpus, and
-    // its ORDER BY sat uselessly under this join.
+    // shares wordpieceFromWords with t26 (fused vocab, exchange-riding
+    // walk, no ORDER BY under the join). A "tokenize once" variant that
+    // derived words as the lang-marginal of the (lang, word) counts was
+    // A/B'd at sf1 and came out ~30% SLOWER min-of-4 (the extra
+    // marginal exchange + double persist cost more than the saved
+    // tokenize pass at this shape) — words keeps its direct derivation.
+    val words = Tables(spark, dir).documents
+      .select(explode(expr(TextOps.TOKENS)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+      .persistTracked
+    val wp = wordpieceFromWords(words).select("word", "n_pieces")
     val lw = Tables(spark, dir).documents
       .select(col("lang"), explode(expr(TextOps.TOKENS)).as("word"))
       .groupBy("lang", "word").agg(count(lit(1)).as("c"))
-      .persistTracked
-    val words = lw.groupBy("word")
-      .agg(sum("c").cast("long").as("wcount")).persistTracked
-    val wp = wordpieceFromWords(words).select("word", "n_pieces")
     lw.join(wp, Seq("word"))
       .groupBy("lang")
       .agg(
