@@ -198,7 +198,9 @@ final class ModelEngine(spark: SparkSession) {
   def seed(seeds: Seq[(String, DataFrame)], warehouse: String): Unit =
     seeds.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$warehouse/$name")
-      spark.read.parquet(s"$warehouse/$name").createOrReplaceTempView(name)
+      // the just-written schema is known — skip the footer-inference pass
+      spark.read.schema(ModelEngine.nullableSchema(df.schema)).parquet(s"$warehouse/$name")
+        .createOrReplaceTempView(name)
     }
 
   /** dbt-style SNAPSHOT (check strategy): SCD2-merge the source's
@@ -327,7 +329,9 @@ final class ModelEngine(spark: SparkSession) {
     require(fs.rename(nextP, hPath),
       s"snapshot '$name': swap rename $nextP -> $hPath failed")
     if (fs.exists(oldP)) fs.delete(oldP, true)
-    spark.read.parquet(path)
+    // re-read with merged's own schema (nullable — parquet read
+    // convention): no footer-inference pass over the just-written table
+    spark.read.schema(ModelEngine.nullableSchema(merged.schema)).parquet(path)
   }
 
   /** Own-definition hash per model — NO upstream chaining. The chained
@@ -482,10 +486,20 @@ final class ModelEngine(spark: SparkSession) {
         val path = s"$warehouse/$n"
         val unchanged = previous.getProperty(n) == hashes(n) && new java.io.File(path).exists()
         if (!unchanged) {
-          spark.sql(q).write.mode("overwrite").parquet(path)
+          val df = spark.sql(q)
+          df.write.mode("overwrite").parquet(path)
           status += n -> "built"
-        } else status += n -> "skipped"
-        spark.read.parquet(path).createOrReplaceTempView(n)
+          // read back with the schema we just wrote (nullable, parquet's
+          // read convention): skips the footer-inference pass per build —
+          // at warehouse scale a file listing + footer read per model per
+          // run (guide §6), and one scheduler job each locally
+          spark.read.schema(ModelEngine.nullableSchema(df.schema)).parquet(path)
+            .createOrReplaceTempView(n)
+        } else {
+          status += n -> "skipped"
+          // schema unknown without reading (built by an earlier run)
+          spark.read.parquet(path).createOrReplaceTempView(n)
+        }
     }
 
     new java.io.File(warehouse).mkdirs()
@@ -699,6 +713,26 @@ final class ModelEngine(spark: SparkSession) {
 }
 
 object ModelEngine {
+
+  /** The schema a parquet READ of a just-written frame reports: every
+    * field (recursively) nullable — Spark's file-source read convention.
+    * Supplying it to the read-back skips the footer-inference pass.
+    * (StructType.asNullable is private[spark]; this is its public twin.)
+    */
+  private[model] def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case at: ArrayType => at.copy(elementType = asNullable(at.elementType), containsNull = true)
+      case mt: MapType => mt.copy(keyType = asNullable(mt.keyType),
+        valueType = asNullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+  private[model] def nullableSchema(st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    asNullable(st).asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** Does `warehouse/table` exist? Through the Hadoop FileSystem API so
     * hdfs:// and s3a:// warehouses answer correctly — a java.io.File
     * check is local-only and reports every remote table missing.

@@ -19,12 +19,18 @@ trait TableSink {
 
 object TableSink {
 
-  /** Parquet warehouse: one directory per table model. */
+  /** Parquet warehouse: one directory per table model. The read-back
+    * supplies the schema just written (nullable — parquet's read
+    * convention), so registering the materialized copy never pays a
+    * footer-inference pass: at warehouse scale that is a listing +
+    * footer read per model per run (guide §6), and locally one
+    * scheduler job each.
+    */
   def parquet(warehouse: String): TableSink = new TableSink {
     override def materialize(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
       val path = s"$warehouse/$name"
       df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+      spark.read.schema(ModelEngine.nullableSchema(df.schema)).parquet(path)
     }
     override def toString: String = s"TableSink.parquet($warehouse)"
   }
