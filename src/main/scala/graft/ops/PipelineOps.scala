@@ -192,8 +192,18 @@ object PipelineOps {
     */
   def t12_tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // ONE corpus exchange keyed hash(doc_id) (r15, guide §2.4): the tf
+    // aggregate clusters on a superset of it, and the top-k heap + rank
+    // window downstream cluster on doc_id itself, so all three ride this
+    // exchange. The trade: repartitioning the RAW exploded tokens skips
+    // the map-side partial tf reduction — A/B'd at two decades (min-of-2,
+    // same hour): sf0.1 1.16→1.34 s (the lost partial agg) but sf1
+    // 2.11→1.81 s (the saved exchanges grow with data) — the same
+    // decade-divergence rule that rejected SHJ keeps the scale-winning
+    // shape here.
     val terms = docs
       .select(col("doc_id"), explode(expr(TextOps.TOKENS)).as("token"))
+      .repartition(col("doc_id"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df_ = terms.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
