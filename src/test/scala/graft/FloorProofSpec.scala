@@ -63,10 +63,15 @@ class FloorProofSpec extends SparkSpec {
   // detection: a future plan change that adds a stage pushes the count
   // UP and fails here before it shows up as a bench regression.
 
-  test("s8_bm25 floor proof: 6 logical stages schedule as at most 14 jobs") {
+  test("s8_bm25 floor proof: 6 logical stages schedule as at most 15 jobs") {
+    // r15: the occurrence-table restructure (one hash(tok) exchange feeds
+    // tf AND df) materializes the persisted occ frame as its own scheduled
+    // job, so the pin moves 14 -> 15 while planned exchanges and wall both
+    // drop (plans/r15/profile_{before,after}.json: 2.10 -> 1.96 s).
     val n = countJobs(graft.ops.Similarity.s8_bm25(spark, sfDir).count())
-    assert(n <= 14, s"s8's floor arithmetic assumes 6 logical stages (14 AQE jobs); " +
-      s"scheduler ran $n — a stage was added or the BASELINE cause note is stale")
+    assert(n <= 15, s"s8's floor arithmetic assumes 6 logical stages (15 AQE jobs " +
+      s"incl. the persisted occ build); scheduler ran $n — a stage was added or " +
+      s"the BASELINE cause note is stale")
   }
 
   test("q55_concurrency floor proof: 3 logical stages schedule as at most 6 jobs") {
